@@ -1,0 +1,45 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+The real TPU chip is reserved for benchmarks; unit tests validate numerics in
+float64 on CPU and sharding on a forced 8-device host platform
+(SURVEY.md §4: CPU-backend multi-device simulation).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles dominate test wall time here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+# ---------------------------------------------------------------------------
+# This environment's eager (op-by-op) dispatch is pathologically slow
+# (~0.4 s/op through the axon plugin), while jitted calls are microseconds.
+# Tests exercise the library through many small calls, so wrap the pure
+# math-core entry points in jax.jit once here.
+# ---------------------------------------------------------------------------
+import inspect
+
+from plslam_tpu.core import lie as _lie
+from plslam_tpu.core import plucker as _plucker
+from plslam_tpu.core import robust as _robust
+
+for _mod in (_lie, _plucker, _robust):
+    for _name, _fn in list(vars(_mod).items()):
+        if (
+            inspect.isfunction(_fn)
+            and not _name.startswith("_")
+            and _fn.__module__ == _mod.__name__
+        ):
+            setattr(_mod, _name, jax.jit(_fn))
