@@ -1,0 +1,358 @@
+"""Bundle adjustment: batched Levenberg-Marquardt with explicit Schur
+complement, replacing the reference's g2o solver and hand-rolled LM.
+
+Behavioral spec: reference ``src/mapHandler.cpp`` —
+localBundleAdjustmentForPlukerWithG2O (:5851-6323, the LBA actually used in
+Pluecker mode), levMarquardtOptimizationLBA (:2334, endpoint mode), and the
+edge math of ``g2o_types/g2o_types.h`` (EdgePosePoint :206, EdgePoseLine
+:302).  The two-round schedule — optimize, deactivate chi^2 > 5.991 edges,
+re-optimize (:6119-6152) — is kept.
+
+TPU-first design:
+- every observation's residual/Jacobian is computed in one batched program;
+- per-landmark 3x3 / 4x4 Hessian blocks reduce with segment_sum;
+- camera-landmark coupling W is materialized as a dense (K, L, 6, d) tensor
+  (zero where cam k never sees landmark l), so the reduced camera system
+  S = Hcc - W Hll^-1 W^T is two einsums that map straight onto the MXU.
+  K (local keyframes) is small (<= 32); L is the padded landmark capacity.
+  For the distributed global BA, W is sharded along K (parallel/dist_ba.py)
+  and S is psum-reduced.
+
+Problem layout: poses are T_c_w (world->camera, like g2o's inverse-pose
+vertices, mapHandler.cpp:5940) with left-multiplicative twist updates;
+points are 3-vec world positions; lines are 4-DoF orthonormal coordinates
+of world Pluecker lines with box-plus updates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie, linalg
+from ..core.camera import StereoCamera
+from ..core.plucker import (
+    jac_plucker_wrt_orth,
+    orth_plus,
+    orth_to_plucker,
+    plucker_motion_matrix,
+)
+
+CHI2_TH = 5.991  # 2-DoF chi-square 95% gate (mapHandler.cpp:5978, :6131)
+HOMOG = 1e-7
+
+
+class BAProblem(NamedTuple):
+    """Padded, fixed-shape BA problem.
+
+    K poses, P point landmarks, L line landmarks, Np point obs, Nl line obs.
+    """
+
+    # state
+    T_c_w: jax.Array       # (K, 4, 4) world->camera
+    pose_fixed: jax.Array  # (K,) bool — gauge / non-local KFs
+    pose_valid: jax.Array  # (K,) bool
+    points: jax.Array      # (P, 3) world points
+    point_valid: jax.Array # (P,) bool
+    lines_orth: jax.Array  # (L, 4) orthonormal world lines
+    lines_scale: jax.Array # (L,) norm of the Pluecker 6-vec (orth rep is unit)
+    line_valid: jax.Array  # (L,) bool
+    # point observations
+    p_cam: jax.Array       # (Np,) int32 pose slot
+    p_lm: jax.Array        # (Np,) int32 point slot
+    p_uv: jax.Array        # (Np, 2) observed pixel
+    p_sigma2: jax.Array    # (Np,) inverse-variance weight
+    p_valid: jax.Array     # (Np,) bool
+    # line observations (two endpoints on the observed segment)
+    l_cam: jax.Array       # (Nl,) int32
+    l_lm: jax.Array        # (Nl,) int32
+    l_sobs: jax.Array      # (Nl, 2)
+    l_eobs: jax.Array      # (Nl, 2)
+    l_sigma2: jax.Array    # (Nl,)
+    l_valid: jax.Array     # (Nl,) bool
+
+
+class BAConfig(NamedTuple):
+    iters1: int = 5            # first round (mapHandler.cpp:6121)
+    iters2: int = 10           # post-gating round (:6152)
+    lambda_init: float = 1e-4  # LM damping (slamConfig lambda_lba)
+    lambda_factor: float = 10.0
+    huber_delta: float = CHI2_TH ** 0.5
+    chi2_gate: float = CHI2_TH
+    optimize_lines: bool = True
+    optimize_points: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Residuals / Jacobians per observation
+# ---------------------------------------------------------------------------
+
+
+def point_obs_residuals(prob: BAProblem, cam: StereoCamera):
+    """2-vec reprojection residual per point obs + Jacobians wrt pose twist
+    (6) and world point (3).  Spec: g2o_types.h EdgePosePoint :206-300 (sign
+    conventions adapted to e = proj - obs with exp(delta) T updates)."""
+    T = prob.T_c_w[prob.p_cam]                     # (Np, 4, 4)
+    Pw = prob.points[prob.p_lm]                    # (Np, 3)
+    Pc = lie.transform_point(T, Pw)
+    proj = cam.project(Pc)
+    e = proj - prob.p_uv                           # (Np, 2)
+    x, y, z = Pc[..., 0], Pc[..., 1], Pc[..., 2]
+    zs = jnp.maximum(z, HOMOG)
+    z2 = zs * zs
+    zeros = jnp.zeros_like(z)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([cam.fx / zs, zeros, -cam.fx * x / z2], axis=-1),
+            jnp.stack([zeros, cam.fy / zs, -cam.fy * y / z2], axis=-1),
+        ],
+        axis=-2,
+    )                                              # (Np, 2, 3)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=Pc.dtype), Pc.shape[:-1] + (3, 3))
+    dPc_ddelta = jnp.concatenate([I3, -lie.skew(Pc)], axis=-1)  # (Np, 3, 6)
+    J_pose = jnp.einsum("nij,njk->nik", Jproj, dPc_ddelta)      # (Np, 2, 6)
+    R = T[..., :3, :3]
+    J_pt = jnp.einsum("nij,njk->nik", Jproj, R)                 # (Np, 2, 3)
+    return e, J_pose, J_pt
+
+
+def line_obs_residuals(prob: BAProblem, cam: StereoCamera):
+    """2-vec endpoint-to-projected-line residual per line obs + Jacobians
+    wrt pose twist (6) and orthonormal line update (4).  Spec: g2o_types.h
+    EdgePoseLine :302-453."""
+    T = prob.T_c_w[prob.l_cam]                     # (Nl, 4, 4)
+    orth = prob.lines_orth[prob.l_lm]              # (Nl, 4)
+    scale = prob.lines_scale[prob.l_lm]            # (Nl,)
+    Lw = orth_to_plucker(orth) * scale[..., None]  # (Nl, 6)
+    H = plucker_motion_matrix(T)                   # (Nl, 6, 6)
+    Lc = jnp.einsum("nij,nj->ni", H, Lw)
+    n_c, d_c = Lc[..., :3], Lc[..., 3:]
+    l = jnp.einsum("ij,nj->ni", cam.plucker_K, n_c)
+    lx, ly, lz = l[..., 0], l[..., 1], l[..., 2]
+    fm2 = jnp.maximum(lx * lx + ly * ly, HOMOG)
+    fm = 1.0 / jnp.sqrt(fm2)
+    e0 = (prob.l_sobs[..., 0] * lx + prob.l_sobs[..., 1] * ly + lz) * fm
+    e1 = (prob.l_eobs[..., 0] * lx + prob.l_eobs[..., 1] * ly + lz) * fm
+    e = jnp.stack([e0, e1], axis=-1)               # (Nl, 2)
+    # d e_i / d l
+    a0, b0 = prob.l_sobs[..., 0], prob.l_sobs[..., 1]
+    a1, b1 = prob.l_eobs[..., 0], prob.l_eobs[..., 1]
+    de0 = jnp.stack([a0 * fm - lx * e0 * fm * fm,
+                     b0 * fm - ly * e0 * fm * fm, fm], axis=-1)
+    de1 = jnp.stack([a1 * fm - lx * e1 * fm * fm,
+                     b1 * fm - ly * e1 * fm * fm, fm], axis=-1)
+    de_dl = jnp.stack([de0, de1], axis=-2)         # (Nl, 2, 3)
+    # d l / d n_c = K_L ; d n_c / d pose-delta = [-skew(d_c) | -skew(n_c)]
+    dn = jnp.concatenate([-lie.skew(d_c), -lie.skew(n_c)], axis=-1)  # (Nl,3,6)
+    dl_dpose = jnp.einsum("ij,njk->nik", cam.plucker_K, dn)
+    J_pose = jnp.einsum("nij,njk->nik", de_dl, dl_dpose)             # (Nl,2,6)
+    # d l / d orth-delta = K_L * (H * d Lw / d orth)[:3].
+    # jac_plucker_wrt_orth normalizes internally (unit-line Jacobian), so
+    # the landmark's fixed scale multiplies it: Lw = scale * L_unit(orth).
+    dLw = jac_plucker_wrt_orth(Lw) * scale[..., None, None]  # (Nl, 6, 4)
+    dLc = jnp.einsum("nij,njk->nik", H, dLw)       # (Nl, 6, 4)
+    dl_dorth = jnp.einsum("ij,njk->nik", cam.plucker_K, dLc[..., :3, :])
+    J_line = jnp.einsum("nij,njk->nik", de_dl, dl_dorth)             # (Nl,2,4)
+    return e, J_pose, J_line
+
+
+def huber_weight(e: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight of the Huber loss on the residual norm."""
+    r = jnp.linalg.norm(e, axis=-1)
+    return jnp.minimum(1.0, delta / jnp.maximum(r, 1e-12))
+
+
+def chi2(e: jax.Array, sigma2: jax.Array) -> jax.Array:
+    return jnp.sum(e * e, axis=-1) * sigma2
+
+
+# ---------------------------------------------------------------------------
+# Normal equations + Schur complement
+# ---------------------------------------------------------------------------
+
+
+class _Assembled(NamedTuple):
+    Hcc: jax.Array    # (K, 6, 6) block diagonal of camera Hessian
+    bc: jax.Array     # (K, 6)
+    Hpp: jax.Array    # (P, 3, 3)
+    bp: jax.Array     # (P, 3)
+    Wp: jax.Array     # (K, P, 6, 3)
+    Hll: jax.Array    # (L, 4, 4)
+    bl: jax.Array     # (L, 4)
+    Wl: jax.Array     # (K, L, 6, 4)
+    cost: jax.Array
+
+
+def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
+             p_active: jax.Array, l_active: jax.Array) -> _Assembled:
+    K = prob.T_c_w.shape[0]
+    P = prob.points.shape[0]
+    L = prob.lines_orth.shape[0]
+    dtype = prob.points.dtype
+
+    e_p, Jc_p, Jp_p = point_obs_residuals(prob, cam)
+    w_p = huber_weight(e_p, cfg.huber_delta) * prob.p_sigma2
+    w_p = jnp.where(p_active, w_p, 0.0)
+    # weighted blocks
+    Hcc = jnp.zeros((K, 6, 6), dtype).at[prob.p_cam].add(
+        jnp.einsum("n,nij,nik->njk", w_p, Jc_p, Jc_p))
+    bc = jnp.zeros((K, 6), dtype).at[prob.p_cam].add(
+        jnp.einsum("n,nij,ni->nj", w_p, Jc_p, e_p))
+    Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.p_lm].add(
+        jnp.einsum("n,nij,nik->njk", w_p, Jp_p, Jp_p))
+    bp = jnp.zeros((P, 3), dtype).at[prob.p_lm].add(
+        jnp.einsum("n,nij,ni->nj", w_p, Jp_p, e_p))
+    Wp = jnp.zeros((K, P, 6, 3), dtype).at[prob.p_cam, prob.p_lm].add(
+        jnp.einsum("n,nij,nik->njk", w_p, Jc_p, Jp_p))
+    cost = jnp.sum(jnp.where(p_active, huber_cost(e_p, cfg.huber_delta) * prob.p_sigma2, 0.0))
+
+    e_l, Jc_l, Jl_l = line_obs_residuals(prob, cam)
+    w_l = huber_weight(e_l, cfg.huber_delta) * prob.l_sigma2
+    w_l = jnp.where(l_active, w_l, 0.0)
+    Hcc = Hcc.at[prob.l_cam].add(jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jc_l))
+    bc = bc.at[prob.l_cam].add(jnp.einsum("n,nij,ni->nj", w_l, Jc_l, e_l))
+    Hll = jnp.zeros((L, 4, 4), dtype).at[prob.l_lm].add(
+        jnp.einsum("n,nij,nik->njk", w_l, Jl_l, Jl_l))
+    bl = jnp.zeros((L, 4), dtype).at[prob.l_lm].add(
+        jnp.einsum("n,nij,ni->nj", w_l, Jl_l, e_l))
+    Wl = jnp.zeros((K, L, 6, 4), dtype).at[prob.l_cam, prob.l_lm].add(
+        jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jl_l))
+    cost = cost + jnp.sum(
+        jnp.where(l_active, huber_cost(e_l, cfg.huber_delta) * prob.l_sigma2, 0.0))
+
+    return _Assembled(Hcc, bc, Hpp, bp, Wp, Hll, bl, Wl, cost)
+
+
+def huber_cost(e: jax.Array, delta: float) -> jax.Array:
+    r2 = jnp.sum(e * e, axis=-1)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    return jnp.where(r <= delta, r2, 2.0 * delta * r - delta * delta)
+
+
+def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
+    """Per-landmark damped inverse (H + lam*diag(H))^-1; identity for
+    invalid/unobserved landmarks (their delta is zeroed anyway)."""
+    diag = jnp.eye(dim, dtype=Hblocks.dtype)
+    damped = Hblocks + lam * Hblocks * diag + 1e-12 * diag
+    observed = jnp.einsum("nii->n", Hblocks) > 1e-12
+    use = valid & observed
+    safe = jnp.where(use[:, None, None], damped, diag)
+    inv = linalg.inv3x3(safe) if dim == 3 else linalg.inv4x4(safe)
+    return jnp.where(use[:, None, None], inv, 0.0), use
+
+
+def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
+    """One damped Schur solve: reduced camera system then back-substitution.
+
+    Returns (dpose (K,6), dpoint (P,3), dline (L,4)).
+    """
+    K = a.Hcc.shape[0]
+    dtype = a.Hcc.dtype
+    free = prob.pose_valid & ~prob.pose_fixed
+
+    Hpp_inv, p_use = _damped_inv(a.Hpp, lam, prob.point_valid, 3)
+    Hll_inv, l_use = _damped_inv(a.Hll, lam, prob.line_valid, 4)
+
+    # Reduced camera system S (6K x 6K), built from dense W tensors.
+    I6 = jnp.eye(6, dtype=dtype)
+    Hcc_d = a.Hcc + lam * a.Hcc * I6
+    S = jnp.zeros((K, K, 6, 6), dtype)
+    S = S.at[jnp.arange(K), jnp.arange(K)].set(Hcc_d)
+    S = S - jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
+    S = S - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
+    rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
+    rhs = rhs - jnp.einsum("klab,lbc,lc->ka", a.Wl, Hll_inv, a.bl)
+
+    # Fixed/invalid poses: replace their rows/cols by identity, rhs by 0.
+    fmask = free.astype(dtype)
+    S = S * fmask[:, None, None, None] * fmask[None, :, None, None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        I6 * (1.0 - fmask)[:, None, None])
+    rhs = rhs * fmask[:, None]
+
+    Smat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    # gauge regularization for safety
+    Smat = Smat + 1e-10 * jnp.eye(6 * K, dtype=dtype)
+    dpose = linalg.solve_spd(Smat, rhs.reshape(-1)).reshape(K, 6)
+    dpose = dpose * fmask[:, None]
+
+    # back-substitute landmarks: dx = Hll^-1 (b - W^T dpose)
+    tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose)
+    dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp)
+    tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose)
+    dline = jnp.einsum("lbc,lc->lb", Hll_inv, tl)
+    if not cfg.optimize_points:
+        dpoint = jnp.zeros_like(dpoint)
+    if not cfg.optimize_lines:
+        dline = jnp.zeros_like(dline)
+    return dpose, dpoint, dline
+
+
+def apply_update(prob: BAProblem, dpose, dpoint, dline) -> BAProblem:
+    """State update: T <- exp(-d) T (descent step since b = J^T e),
+    points x <- x - dx, lines orth boxplus(-dl)."""
+    T_new = jax.vmap(lambda d, T: lie.exp_se3(-d) @ T)(dpose, prob.T_c_w)
+    pts_new = prob.points - dpoint
+    lines_new = jax.vmap(orth_plus)(prob.lines_orth, -dline)
+    return prob._replace(T_c_w=T_new, points=pts_new, lines_orth=lines_new)
+
+
+def total_cost(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
+               p_active, l_active) -> jax.Array:
+    e_p, _, _ = point_obs_residuals(prob, cam)
+    e_l, _, _ = line_obs_residuals(prob, cam)
+    c = jnp.sum(jnp.where(p_active, huber_cost(e_p, cfg.huber_delta) * prob.p_sigma2, 0.0))
+    c = c + jnp.sum(jnp.where(l_active, huber_cost(e_l, cfg.huber_delta) * prob.l_sigma2, 0.0))
+    return c
+
+
+def lm_rounds(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
+              p_active, l_active, iters: int):
+    """Fixed-iteration LM with accept/reject damping (the reference's
+    levMarquardt loop :2530-2600 expressed as a scan)."""
+
+    def body(carry, _):
+        prob, lam, cost = carry
+        a = assemble(prob, cam, cfg, p_active, l_active)
+        dpose, dpoint, dline = solve_schur(a, prob, cfg, lam)
+        cand = apply_update(prob, dpose, dpoint, dline)
+        new_cost = total_cost(cand, cam, cfg, p_active, l_active)
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        prob = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if new.ndim == 0 else
+            jnp.where(jnp.reshape(ok, (1,) * new.ndim), new, old),
+            cand, prob)
+        lam = jnp.where(ok, lam / cfg.lambda_factor, lam * cfg.lambda_factor)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(ok, new_cost, cost)
+        return (prob, lam, cost), cost
+
+    cost0 = total_cost(prob, cam, cfg, p_active, l_active)
+    lam0 = jnp.asarray(cfg.lambda_init, prob.points.dtype)
+    (prob, _, cost), _ = jax.lax.scan(body, (prob, lam0, cost0), None, length=iters)
+    return prob, cost
+
+
+class BAResult(NamedTuple):
+    problem: BAProblem
+    p_active: jax.Array
+    l_active: jax.Array
+    cost: jax.Array
+
+
+def bundle_adjust(prob: BAProblem, cam: StereoCamera,
+                  cfg: BAConfig = BAConfig()) -> BAResult:
+    """Two-round BA with chi^2 gating between rounds
+    (localBundleAdjustmentForPlukerWithG2O :6119-6152)."""
+    p_active = prob.p_valid
+    l_active = prob.l_valid
+    prob, _ = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters1)
+    # gate
+    e_p, _, _ = point_obs_residuals(prob, cam)
+    e_l, _, _ = line_obs_residuals(prob, cam)
+    p_active = p_active & (chi2(e_p, prob.p_sigma2) <= cfg.chi2_gate)
+    l_active = l_active & (chi2(e_l, prob.l_sigma2) <= cfg.chi2_gate)
+    prob, cost = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters2)
+    return BAResult(problem=prob, p_active=p_active, l_active=l_active, cost=cost)

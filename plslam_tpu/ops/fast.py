@@ -1,0 +1,111 @@
+"""FAST-9/16 corner detection as a dense, fixed-shape program.
+
+Replaces OpenCV's ORB detector stage (stereoFrame.cpp:105-119).  The
+classic implementation walks pixels and early-exits; on TPU the whole
+image is evaluated at once:
+
+- the 16-pixel Bresenham ring is materialized as 16 rolled copies of the
+  image (pure data movement, fused by XLA);
+- a segment of >= 9 contiguous brighter/darker ring pixels is found with
+  windowed boolean products on the wrapped ring axis;
+- the corner score is the exact FAST margin: max over arcs of the min
+  ring-center contrast inside the arc;
+- 3x3 non-max suppression via reduce_window, then a single top_k.
+
+Supports the adaptative threshold protocol of the reference
+(Config::adaptativeFAST, stereoFrameHandler.cpp usage): the caller passes
+the threshold; retry logic lives in the frontend.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle radius 3 (dx, dy), clockwise
+RING = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+ARC = 9
+
+
+class Keypoints(NamedTuple):
+    xy: jax.Array      # (K, 2) float pixel coords (x, y) at full resolution
+    score: jax.Array   # (K,)
+    level: jax.Array   # (K,) int32 pyramid level
+    valid: jax.Array   # (K,) bool
+
+
+def fast_score_map(img: jax.Array, threshold: float) -> jax.Array:
+    """Dense FAST-9 score map; 0 where not a corner."""
+    ring = jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dx, dy) in RING], axis=0
+    )  # ring[k][y, x] = img[y + dy_k, x + dx_k]
+    diff = ring - img[None]                      # (16, H, W)
+    # doubled ring axis for wraparound windows
+    diff2 = jnp.concatenate([diff, diff], axis=0)  # (32, H, W)
+
+    def arc_margin(sign):
+        d = sign * diff2                          # bright: ring - I ; dark: I - ring
+        # windowed min over ARC consecutive ring pixels, for each start k
+        m = d[:16 + ARC - 1]
+        mins = jnp.stack([m[k:k + 16] for k in range(ARC)], axis=0).min(axis=0)
+        # mins[k] = min over window starting at k  (k in 0..15)
+        return jnp.max(mins, axis=0)              # best arc margin per pixel
+
+    margin = jnp.maximum(arc_margin(1.0), arc_margin(-1.0))
+    return jnp.where(margin > threshold, margin, 0.0)
+
+
+def nms3x3(score: jax.Array) -> jax.Array:
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.where((score >= mx) & (score > 0), score, 0.0)
+
+
+def detect_level(img: jax.Array, threshold: float, max_kp: int,
+                 border: int) -> Keypoints:
+    """Top-K FAST corners on one image with border exclusion
+    (Config::orbEdgeTh=19)."""
+    H, W = img.shape
+    s = nms3x3(fast_score_map(img, threshold))
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = ((xx >= border) & (xx < W - border)
+              & (yy >= border) & (yy < H - border))
+    s = jnp.where(inside, s, 0.0)
+    flat = s.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_kp)
+    x = (idx % W).astype(img.dtype)
+    y = (idx // W).astype(img.dtype)
+    return Keypoints(
+        xy=jnp.stack([x, y], axis=-1),
+        score=vals,
+        level=jnp.zeros(max_kp, jnp.int32),
+        valid=vals > 0,
+    )
+
+
+def detect_pyramid(levels, threshold: float, max_total: int, border: int,
+                   scale_factor: float, per_level: int | None = None) -> Keypoints:
+    """Detect on every pyramid level, scale coords to level 0, keep global
+    top max_total by score (ORB multi-scale semantics)."""
+    n = len(levels)
+    per = per_level or max_total // n + 1
+    all_xy, all_s, all_l, all_v = [], [], [], []
+    for i, img in enumerate(levels):
+        kp = detect_level(img, threshold, per, border)
+        scale = scale_factor ** i
+        all_xy.append(kp.xy * scale)
+        all_s.append(kp.score)
+        all_l.append(jnp.full(per, i, jnp.int32))
+        all_v.append(kp.valid)
+    xy = jnp.concatenate(all_xy)
+    sc = jnp.concatenate(all_s)
+    lv = jnp.concatenate(all_l)
+    va = jnp.concatenate(all_v)
+    vals, idx = jax.lax.top_k(jnp.where(va, sc, -1.0), max_total)
+    return Keypoints(xy=xy[idx], score=vals, level=lv[idx], valid=vals > 0)

@@ -1,0 +1,232 @@
+"""Line-segment detection as a fixed-shape, tile-parallel program.
+
+Replaces the vendored LSD/EDLine detector (3rdparty/line_descriptor,
+LSDDetector_custom.cpp; the reference accepts FLD as a substitute,
+stereoFrame.cpp:217-305, so behavioral parity targets segment-level output:
+endpoints, angle, response, length filtering per Config::lsdNFeatures /
+minLineLength).
+
+Region-growing is hostile to XLA, so the algorithm is re-formulated:
+
+1. Sobel gradients; edge pixels by magnitude threshold + non-max
+   suppression across the gradient direction.
+2. The image is cut into TILE x TILE cells; within each cell, edge pixels
+   are soft-assigned to O orientation bins (line orientation = gradient
+   normal, mod pi).  Per (cell, bin), weighted first/second moments give a
+   least-squares line fit (centroid + principal direction) — all cells and
+   bins fitted simultaneously with reshaped segment reductions.
+3. Endpoints = extreme projections of member pixels on the fitted
+   direction; quality = pixel count and straightness (small normal
+   variance).
+4. Cell-local segments are merged across cells by boolean
+   connected-components: adjacency = collinear (angle + normal offset) and
+   endpoint-adjacent; transitive closure via log-rounds of boolean matmul;
+   each component keeps the extreme endpoints along the mean direction.
+
+Everything is masked/padded; output is a fixed-capacity segment list.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import blur, sobel
+
+
+class Segments(NamedTuple):
+    sp: jax.Array      # (K, 2) start point (x, y)
+    ep: jax.Array      # (K, 2) end point
+    angle: jax.Array   # (K,) atan2(ey - sy, ex - sx)
+    length: jax.Array  # (K,)
+    score: jax.Array   # (K,) supporting-pixel mass
+    valid: jax.Array   # (K,) bool
+
+
+class LineDetectorConfig(NamedTuple):
+    tile: int = 16
+    n_orient: int = 8
+    mag_th: float = 30.0       # gradient magnitude threshold (8-bit scale)
+    min_pix: float = 9.0       # min supporting pixels per cell-segment
+    straight_th: float = 1.5   # max rms normal deviation (px)
+    angle_merge_deg: float = 10.0
+    dist_merge: float = 2.5    # max normal offset for merging (px)
+    gap_merge: float = 6.0     # max endpoint gap along the line (px)
+    max_cells: int = 1024      # candidate cell-segments kept for merging
+    max_out: int = 256         # final segment capacity
+
+
+def _edge_nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """Thin edges: keep pixels that are maxima across the gradient
+    direction (4-way quantized)."""
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    # quantize to 0, 45, 90, 135 degrees
+    a = (jnp.round(ang / (jnp.pi / 4.0)).astype(jnp.int32)) % 4
+
+    def shifted(dy, dx):
+        return jnp.roll(mag, (-dy, -dx), axis=(0, 1))
+
+    n0a, n0b = shifted(0, 1), shifted(0, -1)      # horizontal gradient
+    n1a, n1b = shifted(1, 1), shifted(-1, -1)     # diag
+    n2a, n2b = shifted(1, 0), shifted(-1, 0)      # vertical
+    n3a, n3b = shifted(1, -1), shifted(-1, 1)     # anti-diag
+    na = jnp.select([a == 0, a == 1, a == 2, a == 3], [n0a, n1a, n2a, n3a])
+    nb = jnp.select([a == 0, a == 1, a == 2, a == 3], [n0b, n1b, n2b, n3b])
+    return (mag >= na) & (mag >= nb)
+
+
+def detect_segments(img: jax.Array, cfg: LineDetectorConfig = LineDetectorConfig()
+                    ) -> Segments:
+    H, W = img.shape
+    t = cfg.tile
+    TH, TW = H // t, W // t
+    O = cfg.n_orient
+    dtype = img.dtype
+
+    g = blur(img, 1.0)
+    gx, gy = sobel(g)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    edge = _edge_nms(mag, gx, gy) & (mag > cfg.mag_th)
+
+    # line orientation = gradient normal, in [0, pi)
+    theta = jnp.mod(jnp.arctan2(gy, gx) + 0.5 * jnp.pi, jnp.pi)
+    bin_w = jnp.pi / O
+    bin_idx = jnp.clip((theta / bin_w).astype(jnp.int32), 0, O - 1)
+    onehot = jax.nn.one_hot(bin_idx, O, dtype=dtype)          # (H, W, O)
+    w = jnp.where(edge, mag, 0.0)[..., None] * onehot          # (H, W, O)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(dtype)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(dtype)
+
+    def cellsum(v):  # (H, W, O) -> (TH, TW, O)
+        v = v[: TH * t, : TW * t]
+        return v.reshape(TH, t, TW, t, O).sum(axis=(1, 3))
+
+    S = cellsum(w)
+    Sx = cellsum(w * xx[..., None])
+    Sy = cellsum(w * yy[..., None])
+    Sxx = cellsum(w * (xx * xx)[..., None])
+    Sxy = cellsum(w * (xx * yy)[..., None])
+    Syy = cellsum(w * (yy * yy)[..., None])
+
+    Ssafe = jnp.maximum(S, 1e-9)
+    cx = Sx / Ssafe
+    cy = Sy / Ssafe
+    vxx = Sxx / Ssafe - cx * cx
+    vxy = Sxy / Ssafe - cx * cy
+    vyy = Syy / Ssafe - cy * cy
+    # principal axis of the 2x2 covariance
+    fit_theta = 0.5 * jnp.arctan2(2.0 * vxy, vxx - vyy)
+    dx_, dy_ = jnp.cos(fit_theta), jnp.sin(fit_theta)
+    # straightness: variance normal to the axis
+    var_n = (vxx * dy_ * dy_ - 2.0 * vxy * dx_ * dy_ + vyy * dx_ * dx_)
+    var_n = jnp.maximum(var_n, 0.0)
+
+    # endpoint projections: second pass over pixels
+    px = xx[: TH * t, : TW * t].reshape(TH, t, TW, t)
+    py = yy[: TH * t, : TW * t].reshape(TH, t, TW, t)
+    wm = w[: TH * t, : TW * t].reshape(TH, t, TW, t, O)
+    tproj = ((px[..., None] - cx[:, None, :, None, :]) * dx_[:, None, :, None, :]
+             + (py[..., None] - cy[:, None, :, None, :]) * dy_[:, None, :, None, :])
+    member = wm > 0
+    big = jnp.asarray(1e9, dtype)
+    tmin = jnp.min(jnp.where(member, tproj, big), axis=(1, 3))
+    tmax = jnp.max(jnp.where(member, tproj, -big), axis=(1, 3))
+
+    # candidate gating
+    npix = cellsum((edge[..., None] * onehot).astype(dtype))
+    ok = (npix >= cfg.min_pix) & (jnp.sqrt(var_n) <= cfg.straight_th) & (tmax > tmin)
+
+    # flatten cell-bin candidates, keep top max_cells by mass
+    C = TH * TW * O
+    cxf = cx.reshape(C)
+    cyf = cy.reshape(C)
+    dxf = dx_.reshape(C)
+    dyf = dy_.reshape(C)
+    t0 = tmin.reshape(C)
+    t1 = tmax.reshape(C)
+    massf = jnp.where(ok.reshape(C), S.reshape(C), 0.0)
+    mass, sel = jax.lax.top_k(massf, min(cfg.max_cells, C))
+    cxf, cyf, dxf, dyf, t0, t1 = (a[sel] for a in (cxf, cyf, dxf, dyf, t0, t1))
+    vmask = mass > 0
+    sp = jnp.stack([cxf + t0 * dxf, cyf + t0 * dyf], axis=-1)
+    ep = jnp.stack([cxf + t1 * dxf, cyf + t1 * dyf], axis=-1)
+
+    merged = _merge_components(sp, ep, jnp.stack([dxf, dyf], -1), mass, vmask, cfg)
+    return merged
+
+
+def _merge_components(sp, ep, d, mass, valid, cfg: LineDetectorConfig) -> Segments:
+    """Union collinear, adjacent cell-segments via boolean transitive
+    closure, then take per-component extreme endpoints."""
+    N = sp.shape[0]
+    dtype = sp.dtype
+    mid = 0.5 * (sp + ep)
+    # pairwise angle agreement (orientations mod pi)
+    cosang = jnp.abs(jnp.einsum("id,jd->ij", d, d))
+    ang_ok = cosang >= jnp.cos(jnp.deg2rad(cfg.angle_merge_deg))
+    # normal offset of j's midpoint from i's line
+    rel = mid[None, :, :] - mid[:, None, :]
+    normal_off = jnp.abs(rel[..., 0] * (-d[:, None, 1]) + rel[..., 1] * d[:, None, 0])
+    near_line = normal_off <= cfg.dist_merge
+    # gap along the line: distance between closest endpoints minus overlap
+    ti_s = jnp.einsum("ijd,id->ij", sp[None, :, :] - mid[:, None, :], d)
+    ti_e = jnp.einsum("ijd,id->ij", ep[None, :, :] - mid[:, None, :], d)
+    j_lo = jnp.minimum(ti_s, ti_e)
+    j_hi = jnp.maximum(ti_s, ti_e)
+    half_i = 0.5 * jnp.linalg.norm(ep - sp, axis=-1)
+    gap = jnp.maximum(j_lo - half_i[:, None], -j_hi - half_i[:, None])
+    near_along = gap <= cfg.gap_merge
+    A = ang_ok & near_line & near_along & valid[:, None] & valid[None, :]
+    A = A | A.T
+    A = A | jnp.eye(N, dtype=bool)
+    # transitive closure (boolean matmul, log2(N) rounds)
+    for _ in range(np_ceil_log2(N)):
+        Ai = A.astype(jnp.int32)
+        A = (Ai @ Ai) > 0
+    # component root = smallest connected index
+    idx = jnp.arange(N, dtype=jnp.int32)
+    root = jnp.min(jnp.where(A, idx[None, :], N), axis=1).astype(jnp.int32)
+    is_root = (root == idx) & valid
+
+    # mean direction per component (weighted, sign-aligned to root dir)
+    droot = d[root]
+    sign = jnp.sign(jnp.einsum("nd,nd->n", d, droot) + 1e-12)
+    dal = d * sign[:, None] * mass[:, None]
+    dsum = jnp.zeros((N, 2), dtype).at[root].add(jnp.where(valid[:, None], dal, 0.0))
+    dnorm = jnp.linalg.norm(dsum, axis=-1, keepdims=True)
+    dmean = dsum / jnp.maximum(dnorm, 1e-9)
+
+    # per-component extreme projections of all member endpoints
+    anchor = mid[root]
+    t_s = jnp.einsum("nd,nd->n", sp - anchor, dmean[root])
+    t_e = jnp.einsum("nd,nd->n", ep - anchor, dmean[root])
+    big = jnp.asarray(1e9, dtype)
+    lo = jnp.minimum(t_s, t_e)
+    hi = jnp.maximum(t_s, t_e)
+    tmin = jnp.full((N,), big, dtype).at[root].min(jnp.where(valid, lo, big))
+    tmax = jnp.full((N,), -big, dtype).at[root].max(jnp.where(valid, hi, -big))
+    msum = jnp.zeros((N,), dtype).at[root].add(jnp.where(valid, mass, 0.0))
+
+    sp_m = anchor + tmin[:, None] * dmean
+    ep_m = anchor + tmax[:, None] * dmean
+    length = jnp.linalg.norm(ep_m - sp_m, axis=-1)
+    score = jnp.where(is_root, msum, 0.0)
+
+    # keep top max_out by score
+    vals, sel = jax.lax.top_k(score, min(cfg.max_out, N))
+    sp_o = sp_m[sel]
+    ep_o = ep_m[sel]
+    length_o = length[sel]
+    vmask = vals > 0
+    ang = jnp.arctan2(ep_o[:, 1] - sp_o[:, 1], ep_o[:, 0] - sp_o[:, 0])
+    return Segments(sp=sp_o, ep=ep_o, angle=ang, length=length_o,
+                    score=vals, valid=vmask)
+
+
+def np_ceil_log2(n: int) -> int:
+    import math
+
+    return max(1, int(math.ceil(math.log2(max(n, 2)))))

@@ -1,0 +1,159 @@
+"""Batched mutual nearest-neighbor-ratio matching on masked score matrices.
+
+Behavioral spec: reference ``src2/matching.cpp`` — matchNNR (:41), match with
+mutual best check (:63), grid-windowed matchGrid for points (:111) and lines
+(:179, with the cosine direction filter :221).  The pointer-chasing grid
+buckets (``src2/gridStructure.cpp``) become *geometric candidate masks* over
+the full distance matrix: a pair is a candidate iff it falls inside the same
+pixel-space window the grid lookup would have returned.  The reference
+quantizes to a 48 x 64 cell grid (stereoFrame.h:51-52); windows here are the
+equivalent pixel radii, which avoids quantization artifacts while keeping
+the same acceptance region up to one cell.
+
+All functions are fixed-shape: descriptors/coordinates are padded to static
+capacity with validity masks, invalid entries get +BIG distance and can
+never match.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .descriptors import hamming_distance_matrix
+
+BIG = jnp.int32(1 << 20)
+
+
+class MatchResult(NamedTuple):
+    idx: jax.Array  # (N1,) int32, index into set 2 or -1
+    dist: jax.Array  # (N1,) int32, Hamming distance of the accepted match
+
+
+def _top2_min(dist: jax.Array):
+    """Per-row (best, second-best, argbest) of an int distance matrix."""
+    best = jnp.min(dist, axis=1)
+    arg = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    # mask out the best to find the runner-up
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+    d2 = jnp.where(cols[None, :] == arg[:, None], BIG, dist)
+    second = jnp.min(d2, axis=1)
+    return best, second, arg
+
+
+def match_mutual_nnr(
+    dist: jax.Array,
+    pair_mask: jax.Array,
+    nnr: float,
+    mutual: bool = True,
+) -> MatchResult:
+    """Nearest-neighbor-ratio + mutual-best matching (matching.cpp:41-89).
+
+    Acceptance per row i: best_d < nnr * second_d (strict, as in
+    matchGrid:137 ``best_d < best_d2 * Config::minRatio12P()``), and — when
+    ``mutual`` (Config::bestLRMatches, default true) — row i must also be the
+    column-best of its matched column.
+
+    dist: (N1, N2) int32.  pair_mask: (N1, N2) bool of admissible pairs
+    (validity AND geometric window AND direction filters).
+    """
+    d = jnp.where(pair_mask, dist, BIG)
+    best1, second1, arg1 = _top2_min(d)
+    ok = (best1 < BIG) & (best1.astype(jnp.float32) < nnr * second1.astype(jnp.float32))
+    if mutual:
+        best2 = jnp.min(d, axis=0)
+        arg2 = jnp.argmin(d, axis=0).astype(jnp.int32)
+        # row i matched col j: require argmin over rows of col j == i
+        rows = jnp.arange(d.shape[0], dtype=jnp.int32)
+        ok = ok & (arg2[arg1] == rows)
+    idx = jnp.where(ok, arg1, -1)
+    return MatchResult(idx=idx, dist=jnp.where(ok, best1, BIG))
+
+
+def stereo_point_pair_mask(
+    xy_l: jax.Array,
+    xy_r: jax.Array,
+    valid_l: jax.Array,
+    valid_r: jax.Array,
+    max_disp: float,
+    row_tol: float,
+) -> jax.Array:
+    """Admissible stereo pairs (grid window of matchStereoPoints,
+    stereoFrame.cpp:121-160): right feature left of the left feature by at
+    most ``max_disp`` px (10 grid cells in the reference), same row within
+    ``row_tol`` px (one grid cell)."""
+    dx = xy_l[:, None, 0] - xy_r[None, :, 0]
+    dy = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1])
+    m = (dx >= 0.0) & (dx <= max_disp) & (dy <= row_tol)
+    return m & valid_l[:, None] & valid_r[None, :]
+
+
+def window_pair_mask(
+    xy_1: jax.Array,
+    xy_2: jax.Array,
+    valid_1: jax.Array,
+    valid_2: jax.Array,
+    radius_x: float,
+    radius_y: float,
+) -> jax.Array:
+    """Symmetric rectangular window (f2f / projected matching,
+    matching_f2f_ws = 3 grid cells in the reference)."""
+    dx = jnp.abs(xy_1[:, None, 0] - xy_2[None, :, 0])
+    dy = jnp.abs(xy_1[:, None, 1] - xy_2[None, :, 1])
+    m = (dx <= radius_x) & (dy <= radius_y)
+    return m & valid_1[:, None] & valid_2[None, :]
+
+
+def _point_segment_dist2(p: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared distance from points p (N,2) to segments (a, b) (M,2) ->
+    (N, M)."""
+    ab = b - a  # (M,2)
+    ap = p[:, None, :] - a[None, :, :]  # (N,M,2)
+    denom = jnp.sum(ab * ab, axis=-1)  # (M,)
+    t = jnp.sum(ap * ab[None, :, :], axis=-1) / jnp.maximum(denom, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    closest = a[None, :, :] + t[..., None] * ab[None, :, :]
+    d = p[:, None, :] - closest
+    return jnp.sum(d * d, axis=-1)
+
+
+def line_pair_mask(
+    sp1: jax.Array,
+    ep1: jax.Array,
+    sp2: jax.Array,
+    ep2: jax.Array,
+    valid_1: jax.Array,
+    valid_2: jax.Array,
+    radius: float,
+    min_dir_cos: float,
+) -> jax.Array:
+    """Admissible line pairs (matchGrid for lines, matching.cpp:179-235):
+
+    - direction filter: |cos(angle between the two segments)| >= min_dir_cos
+      (Config::lineSimTh, :221)
+    - window: an endpoint of line 1 lies within ``radius`` px of line 2's
+      rasterized cells — expressed exactly as point-to-segment distance.
+    """
+    v1 = ep1 - sp1
+    v2 = ep2 - sp2
+    n1 = jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-12)
+    n2 = jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-12)
+    cos = jnp.abs((v1 / n1) @ (v2 / n2).T)
+    d_s = _point_segment_dist2(sp1, sp2, ep2)
+    d_e = _point_segment_dist2(ep1, sp2, ep2)
+    near = (d_s <= radius * radius) | (d_e <= radius * radius)
+    return (cos >= min_dir_cos) & near & valid_1[:, None] & valid_2[None, :]
+
+
+def match_descriptors(
+    desc1: jax.Array,
+    desc2: jax.Array,
+    pair_mask: jax.Array,
+    nnr: float,
+    mutual: bool = True,
+) -> MatchResult:
+    """Distance matrix + mutual NNR in one call."""
+    dist = hamming_distance_matrix(desc1, desc2)
+    return match_mutual_nnr(dist, pair_mask, nnr, mutual)

@@ -1,0 +1,145 @@
+"""Feature-detection op tests on synthetic images: FAST finds known
+corners, the line detector recovers known segments, descriptors match
+across a shifted rendering (SURVEY.md §4 golden-value strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu.ops import fast, lbd, lines, orb
+from plslam_tpu.ops.descriptors import hamming_distance_matrix
+
+
+def checkerboard(h=240, w=320, sq=40, shift=(0, 0)):
+    """Grid of isolated bright squares — their corners are FAST-9 L-corners
+    (ideal checkerboard X-corners have only 8 contiguous ring pixels and are
+    correctly rejected by FAST)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    ym = ((yy + shift[1]) % sq) < sq // 2
+    xm = ((xx + shift[0]) % sq) < sq // 2
+    img = np.where(ym & xm, 220.0, 20.0)
+    return jnp.asarray(img, jnp.float32)
+
+
+def synthetic_lines_img(h=240, w=320, segs=None):
+    """Dark background with bright thick line segments."""
+    img = np.full((h, w), 20.0, np.float32)
+    if segs is None:
+        segs = [((40, 40), (280, 60)), ((60, 200), (260, 120)),
+                ((150, 30), (150, 210))]
+    for (x0, y0), (x1, y1) in segs:
+        n = int(max(abs(x1 - x0), abs(y1 - y0)) * 2)
+        for t in np.linspace(0, 1, n):
+            x = x0 + t * (x1 - x0)
+            y = y0 + t * (y1 - y0)
+            xi, yi = int(round(x)), int(round(y))
+            img[max(0, yi - 1):yi + 2, max(0, xi - 1):xi + 2] = 220.0
+    return jnp.asarray(img), segs
+
+
+def test_fast_finds_checkerboard_corners():
+    img = checkerboard()
+    kp = jax.jit(lambda im: fast.detect_level(im, 20.0, 128, 8))(img)
+    xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    assert len(xy) >= 20
+    # every detection near a true corner (multiples of sq=40)
+    offs = np.abs((xy + 10) % 20 - 10)
+    dist = np.max(offs, axis=1)
+    assert np.median(dist) <= 3.0, np.median(dist)
+
+
+def test_fast_flat_image_no_corners():
+    img = jnp.full((120, 160), 50.0, jnp.float32)
+    kp = jax.jit(lambda im: fast.detect_level(im, 20.0, 64, 8))(img)
+    assert not bool(jnp.any(kp.valid))
+
+
+def test_orb_descriptors_match_across_shift():
+    """Same corners rendered with a 3px shift: descriptors of corresponding
+    corners must be much closer than non-corresponding ones."""
+    img1 = checkerboard()
+    img2 = checkerboard(shift=(3, 0))
+    det = jax.jit(lambda im: fast.detect_level(im, 20.0, 96, 16))
+    kp1 = det(img1)
+    kp2 = det(img2)
+    desc_fn = jax.jit(orb.describe)
+    d1, _ = desc_fn(img1, kp1.xy, kp1.valid)
+    d2, _ = desc_fn(img2, kp2.xy, kp2.valid)
+    dist = np.asarray(jax.jit(hamming_distance_matrix)(d1, d2))
+    v1 = np.asarray(kp1.valid)
+    v2 = np.asarray(kp2.valid)
+    xy1 = np.asarray(kp1.xy)
+    xy2 = np.asarray(kp2.xy)
+    # ground-truth correspondence: |p1 - (p2 - (3,0))| small
+    hits = 0
+    total = 0
+    for i in np.where(v1)[0]:
+        gt = np.where(v2 & (np.abs(xy2[:, 0] - 3 - xy1[i, 0]) < 2)
+                      & (np.abs(xy2[:, 1] - xy1[i, 1]) < 2))[0]
+        if len(gt) == 0:
+            continue
+        total += 1
+        if dist[i][v2].min() == dist[i][gt].min():
+            hits += 1
+    assert total >= 10
+    assert hits / total > 0.7, (hits, total)
+
+
+def test_line_detector_recovers_segments():
+    img, segs = synthetic_lines_img()
+    out = jax.jit(lambda im: lines.detect_segments(im))(img)
+    sp = np.asarray(out.sp)[np.asarray(out.valid)]
+    ep = np.asarray(out.ep)[np.asarray(out.valid)]
+    ln = np.asarray(out.length)[np.asarray(out.valid)]
+    assert len(sp) >= 3
+    # for each true segment there must be a detection covering >50% of it
+    for (x0, y0), (x1, y1) in segs:
+        a = np.array([x0, y0], float)
+        b = np.array([x1, y1], float)
+        d = b - a
+        L = np.linalg.norm(d)
+        dhat = d / L
+        best_cover = 0.0
+        for s, e in zip(sp, ep):
+            # angle agreement
+            dd = e - s
+            ll = np.linalg.norm(dd)
+            if ll < 10:
+                continue
+            cosang = abs(dd @ dhat) / ll
+            if cosang < 0.98:
+                continue
+            # normal distance of detected midpoint
+            mid = 0.5 * (s + e)
+            normal = abs((mid - a) @ np.array([-dhat[1], dhat[0]]))
+            if normal > 4.0:
+                continue
+            t0 = np.clip((s - a) @ dhat / L, 0, 1)
+            t1 = np.clip((e - a) @ dhat / L, 0, 1)
+            best_cover = max(best_cover, abs(t1 - t0))
+        assert best_cover > 0.5, ((x0, y0, x1, y1), best_cover)
+
+
+def test_lbd_descriptors_match_across_shift():
+    img1, segs = synthetic_lines_img()
+    img2, _ = synthetic_lines_img(
+        segs=[((x0 + 4, y0), (x1 + 4, y1)) for (x0, y0), (x1, y1) in segs])
+    det = jax.jit(lambda im: lines.detect_segments(im))
+    s1 = det(img1)
+    s2 = det(img2)
+    d1 = jax.jit(lbd.describe)(img1, s1.sp, s1.ep, s1.valid)
+    d2 = jax.jit(lbd.describe)(img2, s2.sp, s2.ep, s2.valid)
+    dist = np.asarray(jax.jit(hamming_distance_matrix)(d1, d2))
+    v1, v2 = np.asarray(s1.valid), np.asarray(s2.valid)
+    m1 = 0.5 * (np.asarray(s1.sp) + np.asarray(s1.ep))
+    m2 = 0.5 * (np.asarray(s2.sp) + np.asarray(s2.ep))
+    hits = total = 0
+    for i in np.where(v1)[0]:
+        gt = np.where(v2 & (np.linalg.norm(m2 - np.array([4, 0]) - m1[i], axis=1) < 15))[0]
+        if len(gt) == 0:
+            continue
+        total += 1
+        if dist[i][v2].min() == dist[i][gt].min():
+            hits += 1
+    assert total >= 2
+    assert hits >= 0.6 * total, (hits, total)
