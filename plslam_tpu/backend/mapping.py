@@ -1,0 +1,587 @@
+"""Keyframe map management — the MapHandler equivalent.
+
+Behavioral spec: reference ``src/mapHandler.cpp`` — addKeyFrame (:121),
+matchKF2KFPoints (:237), matchKF2KFLines (:368, Pluecker branch :433-590
+incl. the world-frame renormalization :451-459 and the chi^2 creation gate
+:489-494), matchMap2KFPoints/Lines (:697-921), lookForCommonMatches (:923),
+expandGraphs (:992), formLocalMap (:1005), local BA write-back + pruning
+(:6154-6319), removeBadMapLandmarks (:3732), removeRedundantKFs (:3899).
+
+Architecture: the *dynamic topology* (landmark creation/culling, growing
+observation tables, covisibility counts) lives in host numpy — it is tiny,
+branchy bookkeeping.  Every *numeric* step (descriptor matching, projection
+gates, bundle adjustment) is a fixed-shape jitted device program.  This is
+the TPU replacement for the reference's pointer-soup map + mutex protocol:
+the device never sees a pointer, only padded index tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.camera import StereoCamera
+from ..core.plucker import (
+    normalize_plucker,
+    plucker_to_orth,
+    orth_to_plucker,
+    transform_plucker,
+)
+from ..frontend.features import StereoFeatures
+from ..ops import matching as M
+from ..ops.descriptors import hamming_distance_matrix
+from . import ba as ba_mod
+
+CHI2_GATE = 5.991  # mapHandler.cpp:489, :6131
+
+
+@dataclass
+class MapConfig:
+    max_kf: int = 128
+    max_points: int = 8192
+    max_lines: int = 2048
+    min_lm_obs: int = 5           # slamConfig min_lm_obs
+    cull_age: int = 10            # remove... :3741 "older than 10 KFs"
+    min_lm_cov_graph: int = 75    # formLocalMap :1052
+    min_kf_local_map: int = 3     # formLocalMap :1118
+    max_kf_epip_p: float = 1.0    # matchMap2KF accept gate :778
+    max_kf_epip_l: float = 1.0
+    match_window: float = 40.0    # projected-grid window (f2f cells)
+    nnr: float = 0.9
+    use_lines: bool = True
+    plucker_lines: bool = True
+    local_ba_kf: int = 16         # padded local-KF capacity for the BA
+    ba_points: int = 1024         # padded BA landmark capacities
+    ba_lines: int = 256
+    ba_pobs: int = 4096
+    ba_lobs: int = 1024
+
+
+class KeyframeRecord:
+    """Host-side record of one keyframe (deep copy of the frame's features,
+    keyFrame.cpp:31-79)."""
+
+    def __init__(self, kf_id: int, pose: np.ndarray, feats: StereoFeatures):
+        self.id = kf_id
+        self.T_w_k = pose.astype(np.float64)        # camera -> world
+        self.pt_uv = np.asarray(feats.points.uv)
+        self.pt_P = np.asarray(feats.points.P)
+        self.pt_desc = np.asarray(feats.points.desc)
+        self.pt_sigma2 = np.asarray(feats.points.sigma2)
+        self.pt_valid = np.asarray(feats.points.valid)
+        self.pt_lm = np.full(len(self.pt_uv), -1, np.int64)
+        self.ls_sp = np.asarray(feats.lines.sp)
+        self.ls_ep = np.asarray(feats.lines.ep)
+        self.ls_sP = np.asarray(feats.lines.sP)
+        self.ls_eP = np.asarray(feats.lines.eP)
+        self.ls_NDc = np.asarray(feats.lines.NDc)
+        self.ls_desc = np.asarray(feats.lines.desc)
+        self.ls_sigma2 = np.asarray(feats.lines.sigma2)
+        self.ls_valid = np.asarray(feats.lines.valid)
+        self.ls_lm = np.full(len(self.ls_sp), -1, np.int64)
+
+
+class SlamMap:
+    """Fixed-capacity landmark store + observation tables + covisibility."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        self.keyframes: list[KeyframeRecord] = []
+        self.covis = np.zeros((0, 0), np.int32)
+        # point landmarks
+        self.pt_w = np.zeros((0, 3))
+        self.pt_desc = np.zeros((0, 8), np.uint32)
+        self.pt_valid = np.zeros(0, bool)
+        self.pt_first_kf = np.zeros(0, np.int64)
+        self.pt_last_kf = np.zeros(0, np.int64)
+        # observations: lists of (lm, kf, feat_idx)
+        self.pt_obs: list[list[tuple]] = []
+        # line landmarks (world Pluecker, normalized ||d||=1)
+        self.ls_w = np.zeros((0, 6))
+        self.ls_desc = np.zeros((0, 8), np.uint32)
+        self.ls_valid = np.zeros(0, bool)
+        self.ls_first_kf = np.zeros(0, np.int64)
+        self.ls_last_kf = np.zeros(0, np.int64)
+        self.ls_obs: list[list[tuple]] = []
+
+    # -- landmark creation ------------------------------------------------
+
+    def new_point(self, Pw, desc, kf_id, feat_idx) -> int:
+        self.pt_w = np.vstack([self.pt_w, Pw[None]])
+        self.pt_desc = np.vstack([self.pt_desc, desc[None]])
+        self.pt_valid = np.append(self.pt_valid, True)
+        self.pt_first_kf = np.append(self.pt_first_kf, kf_id)
+        self.pt_last_kf = np.append(self.pt_last_kf, kf_id)
+        self.pt_obs.append([(kf_id, feat_idx)])
+        return len(self.pt_valid) - 1
+
+    def new_line(self, Lw, desc, kf_id, feat_idx) -> int:
+        self.ls_w = np.vstack([self.ls_w, Lw[None]])
+        self.ls_desc = np.vstack([self.ls_desc, desc[None]])
+        self.ls_valid = np.append(self.ls_valid, True)
+        self.ls_first_kf = np.append(self.ls_first_kf, kf_id)
+        self.ls_last_kf = np.append(self.ls_last_kf, kf_id)
+        self.ls_obs.append([(kf_id, feat_idx)])
+        return len(self.ls_valid) - 1
+
+    def add_point_obs(self, lm, kf_id, feat_idx):
+        self.pt_obs[lm].append((kf_id, feat_idx))
+        self.pt_last_kf[lm] = kf_id
+
+    def add_line_obs(self, lm, kf_id, feat_idx):
+        self.ls_obs[lm].append((kf_id, feat_idx))
+        self.ls_last_kf[lm] = kf_id
+
+    # -- covisibility -----------------------------------------------------
+
+    def expand_graphs(self):
+        """Grow covis to (K+1)^2 (expandGraphs :992)."""
+        k = len(self.keyframes)
+        g = np.zeros((k, k), np.int32)
+        g[: self.covis.shape[0], : self.covis.shape[1]] = self.covis
+        self.covis = g
+
+    def local_kf_set(self) -> np.ndarray:
+        """formLocalMap (:1005): KFs covisible with the newest (covis >=
+        min_lm_cov_graph) or within the last min_kf_local_map KFs."""
+        k = len(self.keyframes)
+        newest = k - 1
+        local = np.zeros(k, bool)
+        local[max(0, k - self.cfg.min_kf_local_map):] = True
+        if k > 1:
+            local |= self.covis[newest] >= self.cfg.min_lm_cov_graph
+        return local
+
+
+# ---------------------------------------------------------------------------
+# Device-side helpers (jitted once per shape)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _match_projected(desc1, xy1, valid1, desc2, xy2, valid2, window, nnr):
+    """Descriptor matching constrained to a projected pixel window
+    (matchKF2KF* grid matching semantics, :253-281)."""
+    mask = M.window_pair_mask(xy1, xy2, valid1, valid2, window, window)
+    return M.match_descriptors(desc1, desc2, mask, float(nnr))
+
+
+@jax.jit
+def _project_points(T_c_w, Pw, cam: StereoCamera):
+    Pc = lie.transform_point(T_c_w, Pw)
+    return cam.project(Pc), Pc[..., 2]
+
+
+@jax.jit
+def _project_lines(T_c_w, Lw, cam: StereoCamera):
+    Lc = transform_plucker(T_c_w, Lw)
+    l_img = jnp.einsum("ij,nj->ni", cam.plucker_K, Lc[..., :3])
+    return l_img, Lc
+
+
+class MapHandler:
+    """Host orchestrator of keyframe insertion and local BA."""
+
+    def __init__(self, cam: StereoCamera, cfg: MapConfig = MapConfig(),
+                 ba_cfg: Optional[ba_mod.BAConfig] = None):
+        self.cam = cam
+        self.cfg = cfg
+        self.ba_cfg = ba_cfg or ba_mod.BAConfig()
+        self.map = SlamMap(cfg)
+        self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
+
+    # -- public API (mapHandler.cpp initialize :50 / addKeyFrame :121) ----
+
+    def initialize(self, pose: np.ndarray, feats: StereoFeatures):
+        kf = KeyframeRecord(0, pose, feats)
+        self.map.keyframes.append(kf)
+        self.map.expand_graphs()
+        # every stereo feature of KF0 seeds a landmark (reference behavior:
+        # initial KF features become the initial map)
+        self._spawn_landmarks(kf)
+
+    def add_keyframe(self, pose: np.ndarray, feats: StereoFeatures,
+                     run_ba: bool = True):
+        kf = KeyframeRecord(len(self.map.keyframes), pose, feats)
+        self.map.keyframes.append(kf)
+        self.map.expand_graphs()
+        self._match_kf2kf(kf)
+        self._match_map2kf(kf)
+        self._spawn_landmarks(kf)  # leftovers become new landmarks
+        if run_ba:
+            self.local_bundle_adjustment()
+        self.cull_landmarks()
+        return kf
+
+    # -- association ------------------------------------------------------
+
+    def _match_kf2kf(self, kf: KeyframeRecord):
+        """Project the previous KF's features into the new KF and match
+        (matchKF2KFPoints :237 / Lines :368)."""
+        prev = self.map.keyframes[-2]
+        T_c_w_new = np.linalg.inv(kf.T_w_k)
+        T_rel = T_c_w_new @ prev.T_w_k  # prev-cam -> new-cam
+
+        # points
+        proj, depth = _project_points(
+            jnp.asarray(T_rel), jnp.asarray(prev.pt_P), self.cam)
+        proj = np.asarray(proj)
+        ok_prev = prev.pt_valid & (np.asarray(depth) > 0)
+        m = _match_projected(
+            jnp.asarray(prev.pt_desc), jnp.asarray(proj), jnp.asarray(ok_prev),
+            jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
+            jnp.asarray(kf.pt_valid), self.cfg.match_window, self.cfg.nnr)
+        idx = np.asarray(m.idx)
+        shared = 0
+        for i1, i2 in enumerate(idx):
+            if i2 < 0:
+                continue
+            lm = prev.pt_lm[i1]
+            if lm < 0:
+                # create a landmark from the prev-KF stereo triangulation
+                Pw = prev.T_w_k[:3, :3] @ prev.pt_P[i1] + prev.T_w_k[:3, 3]
+                # chi^2 creation gate: reprojection into the NEW kf
+                if not self._point_chi2_ok(Pw, kf, i2):
+                    continue
+                lm = self.map.new_point(Pw, prev.pt_desc[i1], prev.id, i1)
+                prev.pt_lm[i1] = lm
+            self.map.add_point_obs(lm, kf.id, i2)
+            kf.pt_lm[i2] = lm
+            shared += 1
+        self._bump_covis(kf, shared)
+
+        if not self.cfg.use_lines:
+            return
+        # lines
+        l_img, _ = _project_lines(
+            jnp.asarray(T_rel),
+            jnp.asarray(self._prev_lines_world_in(prev, prev)), self.cam)
+        m = _match_projected(
+            jnp.asarray(prev.ls_desc),
+            jnp.asarray(0.5 * (prev.ls_sp + prev.ls_ep)),
+            jnp.asarray(prev.ls_valid),
+            jnp.asarray(kf.ls_desc),
+            jnp.asarray(0.5 * (kf.ls_sp + kf.ls_ep)),
+            jnp.asarray(kf.ls_valid),
+            self.cfg.match_window * 2.0, self.cfg.nnr)
+        idx = np.asarray(m.idx)
+        shared_l = 0
+        for i1, i2 in enumerate(idx):
+            if i2 < 0:
+                continue
+            lm = prev.ls_lm[i1]
+            if lm < 0:
+                # lift the prev-KF camera-frame Pluecker line to world and
+                # renormalize ||d||=1 (mapHandler.cpp:451-459)
+                Lw = np.asarray(transform_plucker(
+                    jnp.asarray(prev.T_w_k), jnp.asarray(prev.ls_NDc[i1])))
+                Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+                if not self._line_chi2_ok(Lw, kf, i2):
+                    continue
+                lm = self.map.new_line(Lw, prev.ls_desc[i1], prev.id, i1)
+                prev.ls_lm[i1] = lm
+            self.map.add_line_obs(lm, kf.id, i2)
+            kf.ls_lm[i2] = lm
+            shared_l += 1
+        self._bump_covis(kf, shared_l)
+
+    def _prev_lines_world_in(self, prev, frame):
+        return prev.ls_NDc
+
+    def _match_map2kf(self, kf: KeyframeRecord):
+        """Track local-map landmarks not yet matched into the new KF
+        (matchMap2KFPoints :697 / Lines :799)."""
+        local_kf = self.map.local_kf_set()
+        mp = self.map
+        T_c_w = np.linalg.inv(kf.T_w_k)
+        # candidate landmarks: local, valid, not already observed in kf
+        already = set(kf.pt_lm[kf.pt_lm >= 0].tolist())
+        cand = [i for i in range(len(mp.pt_valid))
+                if mp.pt_valid[i] and i not in already
+                and any(local_kf[k] for k, _ in mp.pt_obs[i])]
+        if cand:
+            Pw = mp.pt_w[cand]
+            proj, depth = _project_points(jnp.asarray(T_c_w), jnp.asarray(Pw), self.cam)
+            proj = np.asarray(proj)
+            depth = np.asarray(depth)
+            inside = ((depth > 0)
+                      & (proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
+                      & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height))
+            free = kf.pt_valid & (kf.pt_lm < 0)
+            m = _match_projected(
+                jnp.asarray(mp.pt_desc[cand]), jnp.asarray(proj),
+                jnp.asarray(inside),
+                jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
+                jnp.asarray(free), self.cfg.match_window, self.cfg.nnr)
+            idx = np.asarray(m.idx)
+            shared = 0
+            for ci, i2 in enumerate(idx):
+                if i2 < 0:
+                    continue
+                # epipolar-style gate: projected distance (:778)
+                if np.linalg.norm(proj[ci] - kf.pt_uv[i2]) > self.cfg.match_window:
+                    continue
+                lm = cand[ci]
+                self.map.add_point_obs(lm, kf.id, i2)
+                kf.pt_lm[i2] = lm
+                shared += 1
+            self._bump_covis(kf, shared)
+
+        if not self.cfg.use_lines:
+            return
+        already_l = set(kf.ls_lm[kf.ls_lm >= 0].tolist())
+        cand = [i for i in range(len(mp.ls_valid))
+                if mp.ls_valid[i] and i not in already_l
+                and any(local_kf[k] for k, _ in mp.ls_obs[i])]
+        if cand:
+            Lw = mp.ls_w[cand]
+            l_img, Lc = _project_lines(jnp.asarray(T_c_w), jnp.asarray(Lw), self.cam)
+            l_img = np.asarray(l_img)
+            free = kf.ls_valid & (kf.ls_lm < 0)
+            # match by descriptor with distance-to-projected-line gate
+            dist_mat = np.asarray(hamming_distance_matrix(
+                jnp.asarray(mp.ls_desc[cand]), jnp.asarray(kf.ls_desc)))
+            for ci in range(len(cand)):
+                ln = l_img[ci]
+                nrm = np.hypot(ln[0], ln[1])
+                if nrm < 1e-9:
+                    continue
+                d_s = np.abs(ln[0] * kf.ls_sp[:, 0] + ln[1] * kf.ls_sp[:, 1] + ln[2]) / nrm
+                d_e = np.abs(ln[0] * kf.ls_ep[:, 0] + ln[1] * kf.ls_ep[:, 1] + ln[2]) / nrm
+                gate = free & (d_s < self.cfg.match_window) & (d_e < self.cfg.match_window)
+                if not gate.any():
+                    continue
+                dists = np.where(gate, dist_mat[ci], 1 << 20)
+                i2 = int(dists.argmin())
+                if dists[i2] >= (1 << 20):
+                    continue
+                if max(d_s[i2], d_e[i2]) > self.cfg.max_kf_epip_l * 20:
+                    continue
+                self.map.add_line_obs(cand[ci], kf.id, i2)
+                kf.ls_lm[i2] = cand[ci]
+
+    def _spawn_landmarks(self, kf: KeyframeRecord):
+        """Unmatched stereo features of the newest KF seed new landmarks."""
+        for i in range(len(kf.pt_valid)):
+            if kf.pt_valid[i] and kf.pt_lm[i] < 0:
+                Pw = kf.T_w_k[:3, :3] @ kf.pt_P[i] + kf.T_w_k[:3, 3]
+                kf.pt_lm[i] = self.map.new_point(Pw, kf.pt_desc[i], kf.id, i)
+        if self.cfg.use_lines:
+            for i in range(len(kf.ls_valid)):
+                if kf.ls_valid[i] and kf.ls_lm[i] < 0:
+                    Lw = np.asarray(transform_plucker(
+                        jnp.asarray(kf.T_w_k), jnp.asarray(kf.ls_NDc[i])))
+                    Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+                    kf.ls_lm[i] = self.map.new_line(Lw, kf.ls_desc[i], kf.id, i)
+
+    def _bump_covis(self, kf: KeyframeRecord, shared: int):
+        if len(self.map.keyframes) >= 2 and shared:
+            self.map.covis[kf.id, kf.id - 1] += shared
+            self.map.covis[kf.id - 1, kf.id] += shared
+
+    def _point_chi2_ok(self, Pw, kf: KeyframeRecord, feat_idx) -> bool:
+        """Reprojection chi^2 creation gate (mapHandler.cpp:489-494)."""
+        T_c_w = np.linalg.inv(kf.T_w_k)
+        Pc = T_c_w[:3, :3] @ Pw + T_c_w[:3, 3]
+        if Pc[2] <= 0:
+            return False
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        u = cx + fx * Pc[0] / Pc[2]
+        v = cy + fy * Pc[1] / Pc[2]
+        err = np.array([u, v]) - kf.pt_uv[feat_idx]
+        return float(err @ err) <= CHI2_GATE * 4.0
+
+    def _line_chi2_ok(self, Lw, kf: KeyframeRecord, feat_idx) -> bool:
+        T_c_w = np.linalg.inv(kf.T_w_k)
+        Lc = np.asarray(transform_plucker(jnp.asarray(T_c_w), jnp.asarray(Lw)))
+        K_L = np.asarray(self.cam.plucker_K)
+        l = K_L @ Lc[:3]
+        nrm = np.hypot(l[0], l[1])
+        if nrm < 1e-9:
+            return False
+        sp, ep = kf.ls_sp[feat_idx], kf.ls_ep[feat_idx]
+        e0 = (l[0] * sp[0] + l[1] * sp[1] + l[2]) / nrm
+        e1 = (l[0] * ep[0] + l[1] * ep[1] + l[2]) / nrm
+        return e0 * e0 + e1 * e1 <= CHI2_GATE * 4.0
+
+    # -- bundle adjustment -------------------------------------------------
+
+    def build_local_ba(self):
+        """Assemble the padded BAProblem over the local map (the array-ized
+        localBundleAdjustmentForPlukerWithG2O graph build :5870-6049)."""
+        cfg = self.cfg
+        mp = self.map
+        local = mp.local_kf_set()
+        K = cfg.local_ba_kf
+        kf_ids = [k.id for k in mp.keyframes]
+        # local KFs last; fixed set = non-local observers + KF0
+        local_ids = [i for i in kf_ids if local[i]][-K:]
+        slot_of = {kf: s for s, kf in enumerate(local_ids)}
+
+        # landmarks observed by local KFs
+        pt_ids = [i for i in range(len(mp.pt_valid)) if mp.pt_valid[i]
+                  and sum(1 for k, _ in mp.pt_obs[i] if k in slot_of) >= 2]
+        ls_ids = [i for i in range(len(mp.ls_valid)) if mp.ls_valid[i]
+                  and sum(1 for k, _ in mp.ls_obs[i] if k in slot_of) >= 2]
+        pt_ids = pt_ids[: cfg.ba_points]
+        ls_ids = ls_ids[: cfg.ba_lines]
+        pslot = {p: s for s, p in enumerate(pt_ids)}
+        lslot = {p: s for s, p in enumerate(ls_ids)}
+
+        dtype = np.float32
+        T = np.tile(np.eye(4, dtype=dtype), (K, 1, 1))
+        pose_valid = np.zeros(K, bool)
+        pose_fixed = np.zeros(K, bool)
+        for kfid, s in slot_of.items():
+            T[s] = np.linalg.inv(mp.keyframes[kfid].T_w_k)
+            pose_valid[s] = True
+            # gauge: fix the oldest local KF (and KF0 whenever present)
+            pose_fixed[s] = kfid == local_ids[0] or kfid == 0
+
+        points = np.zeros((cfg.ba_points, 3), dtype)
+        point_valid = np.zeros(cfg.ba_points, bool)
+        for p, s in pslot.items():
+            points[s] = mp.pt_w[p]
+            point_valid[s] = True
+
+        lines_orth = np.zeros((cfg.ba_lines, 4), dtype)
+        lines_scale = np.ones(cfg.ba_lines, dtype)
+        line_valid = np.zeros(cfg.ba_lines, bool)
+        for p, s in lslot.items():
+            Lw = mp.ls_w[p]
+            scale = np.linalg.norm(Lw)
+            lines_scale[s] = scale
+            lines_orth[s] = np.asarray(plucker_to_orth(jnp.asarray(Lw / scale)))
+            line_valid[s] = True
+
+        p_cam = np.zeros(cfg.ba_pobs, np.int32)
+        p_lm = np.zeros(cfg.ba_pobs, np.int32)
+        p_uv = np.zeros((cfg.ba_pobs, 2), dtype)
+        p_sig = np.ones(cfg.ba_pobs, dtype)
+        p_val = np.zeros(cfg.ba_pobs, bool)
+        n = 0
+        obs_refs_p = []
+        for p, s in pslot.items():
+            for kfid, fi in mp.pt_obs[p]:
+                if kfid not in slot_of or n >= cfg.ba_pobs:
+                    continue
+                rec = mp.keyframes[kfid]
+                p_cam[n] = slot_of[kfid]
+                p_lm[n] = s
+                p_uv[n] = rec.pt_uv[fi]
+                p_sig[n] = rec.pt_sigma2[fi]
+                p_val[n] = True
+                obs_refs_p.append((p, kfid, fi))
+                n += 1
+
+        l_cam = np.zeros(cfg.ba_lobs, np.int32)
+        l_lm = np.zeros(cfg.ba_lobs, np.int32)
+        l_sobs = np.zeros((cfg.ba_lobs, 2), dtype)
+        l_eobs = np.zeros((cfg.ba_lobs, 2), dtype)
+        l_sig = np.ones(cfg.ba_lobs, dtype)
+        l_val = np.zeros(cfg.ba_lobs, bool)
+        nl = 0
+        obs_refs_l = []
+        for p, s in lslot.items():
+            for kfid, fi in mp.ls_obs[p]:
+                if kfid not in slot_of or nl >= cfg.ba_lobs:
+                    continue
+                rec = mp.keyframes[kfid]
+                l_cam[nl] = slot_of[kfid]
+                l_lm[nl] = s
+                l_sobs[nl] = rec.ls_sp[fi]
+                l_eobs[nl] = rec.ls_ep[fi]
+                l_sig[nl] = rec.ls_sigma2[fi]
+                l_val[nl] = True
+                obs_refs_l.append((p, kfid, fi))
+                nl += 1
+
+        prob = ba_mod.BAProblem(
+            T_c_w=jnp.asarray(T), pose_fixed=jnp.asarray(pose_fixed),
+            pose_valid=jnp.asarray(pose_valid),
+            points=jnp.asarray(points), point_valid=jnp.asarray(point_valid),
+            lines_orth=jnp.asarray(lines_orth),
+            lines_scale=jnp.asarray(lines_scale),
+            line_valid=jnp.asarray(line_valid),
+            p_cam=jnp.asarray(p_cam), p_lm=jnp.asarray(p_lm),
+            p_uv=jnp.asarray(p_uv), p_sigma2=jnp.asarray(p_sig),
+            p_valid=jnp.asarray(p_val),
+            l_cam=jnp.asarray(l_cam), l_lm=jnp.asarray(l_lm),
+            l_sobs=jnp.asarray(l_sobs), l_eobs=jnp.asarray(l_eobs),
+            l_sigma2=jnp.asarray(l_sig), l_valid=jnp.asarray(l_val),
+        )
+        meta = dict(local_ids=local_ids, pt_ids=pt_ids, ls_ids=ls_ids,
+                    obs_refs_p=obs_refs_p, obs_refs_l=obs_refs_l)
+        return prob, meta
+
+    def local_bundle_adjustment(self):
+        """Run the two-round chi^2-gated BA and write back
+        (:6119-6319)."""
+        if len(self.map.keyframes) < 2:
+            return None
+        prob, meta = self.build_local_ba()
+        res = self._ba_jit(prob, self.cam, self.ba_cfg)
+        self._write_back(res, meta)
+        return res
+
+    def _write_back(self, res: ba_mod.BAResult, meta):
+        mp = self.map
+        T_c_w = np.asarray(res.problem.T_c_w)
+        for s, kfid in enumerate(meta["local_ids"]):
+            mp.keyframes[kfid].T_w_k = np.linalg.inv(
+                np.asarray(T_c_w[s], np.float64))
+        points = np.asarray(res.problem.points)
+        for s, p in enumerate(meta["pt_ids"]):
+            mp.pt_w[p] = points[s]
+        orth = np.asarray(res.problem.lines_orth)
+        scale = np.asarray(res.problem.lines_scale)
+        for s, p in enumerate(meta["ls_ids"]):
+            Lw = np.asarray(orth_to_plucker(jnp.asarray(orth[s]))) * scale[s]
+            mp.ls_w[p] = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+        # prune gated-out observations (:6154-6293)
+        p_active = np.asarray(res.p_active)
+        for n, (p, kfid, fi) in enumerate(meta["obs_refs_p"]):
+            if not p_active[n]:
+                try:
+                    mp.pt_obs[p].remove((kfid, fi))
+                    mp.keyframes[kfid].pt_lm[fi] = -1
+                except ValueError:
+                    pass
+        l_active = np.asarray(res.l_active)
+        for n, (p, kfid, fi) in enumerate(meta["obs_refs_l"]):
+            if not l_active[n]:
+                try:
+                    mp.ls_obs[p].remove((kfid, fi))
+                    mp.keyframes[kfid].ls_lm[fi] = -1
+                except ValueError:
+                    pass
+
+    # -- culling -----------------------------------------------------------
+
+    def cull_landmarks(self):
+        """removeBadMapLandmarks (:3732): kill non-local landmarks older
+        than cull_age KFs with fewer than min_lm_obs observations."""
+        mp = self.map
+        newest = len(mp.keyframes) - 1
+        for i in range(len(mp.pt_valid)):
+            if (mp.pt_valid[i]
+                    and newest - mp.pt_last_kf[i] > self.cfg.cull_age
+                    and len(mp.pt_obs[i]) < self.cfg.min_lm_obs):
+                mp.pt_valid[i] = False
+        for i in range(len(mp.ls_valid)):
+            if (mp.ls_valid[i]
+                    and newest - mp.ls_last_kf[i] > self.cfg.cull_age
+                    and len(mp.ls_obs[i]) < self.cfg.min_lm_obs):
+                mp.ls_valid[i] = False
+
+    # -- trajectory export -------------------------------------------------
+
+    def keyframe_trajectory(self):
+        return [kf.T_w_k for kf in self.map.keyframes]

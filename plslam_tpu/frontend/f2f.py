@@ -1,0 +1,57 @@
+"""Frame-to-frame feature association (f2fTracking).
+
+Behavioral spec: reference ``src2/stereoFrameHandler.cpp`` — matchF2FPoints
+(:131), matchF2FLines (:155): full mutual-NNR descriptor matching between
+the previous and current frames' left-image features, producing the
+correspondence sets consumed by optimizePose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import matching as M
+from .features import StereoFeatures, TrackedLines, TrackedPoints
+
+
+def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
+                         nnr: float = 0.9):
+    """Build (TrackedPoints, TrackedLines): prev-frame 3D geometry paired
+    with curr-frame 2D observations."""
+    p_prev, p_curr = prev.points, curr.points
+    pm = p_prev.valid[:, None] & p_curr.valid[None, :]
+    pmatch = M.match_descriptors(p_prev.desc, p_curr.desc, pm, nnr)
+    pj = jnp.clip(pmatch.idx, 0, p_curr.capacity - 1)
+    p_ok = (pmatch.idx >= 0) & p_prev.valid
+    pts = TrackedPoints(
+        P=p_prev.P,
+        obs=p_curr.uv[pj],
+        sigma2=p_prev.sigma2,
+        valid=p_ok,
+        inlier=jnp.ones_like(p_ok),
+    )
+
+    l_prev, l_curr = prev.lines, curr.lines
+    lm = l_prev.valid[:, None] & l_curr.valid[None, :]
+    # direction similarity filter as in the line matcher
+    lmask = lm & M.line_pair_mask(
+        l_prev.sp, l_prev.ep, l_curr.sp, l_curr.ep,
+        l_prev.valid, l_curr.valid, radius=1e9, min_dir_cos=0.75)
+    lmatch = M.match_descriptors(l_prev.desc, l_curr.desc, lmask, nnr)
+    lj = jnp.clip(lmatch.idx, 0, l_curr.capacity - 1)
+    l_ok = (lmatch.idx >= 0) & l_prev.valid
+    ls = TrackedLines(
+        sP=l_prev.sP,
+        eP=l_prev.eP,
+        sp=l_prev.sp,
+        ep=l_prev.ep,
+        NDc=l_prev.NDc,
+        sobs=l_curr.sp[lj],
+        eobs=l_curr.ep[lj],
+        le_obs=l_curr.le[lj],
+        sigma2=l_prev.sigma2,
+        valid=l_ok,
+        inlier=jnp.ones_like(l_ok),
+    )
+    return pts, ls, pmatch.idx, lmatch.idx

@@ -69,9 +69,12 @@ def nms3x3(score: jax.Array) -> jax.Array:
 def detect_level(img: jax.Array, threshold: float, max_kp: int,
                  border: int) -> Keypoints:
     """Top-K FAST corners on one image with border exclusion
-    (Config::orbEdgeTh=19)."""
+    (Config::orbEdgeTh=19) and parabolic sub-pixel refinement — integer
+    corner coordinates would quantize stereo disparity by a full pixel,
+    which at EuRoC depths is tens of centimeters of depth error."""
     H, W = img.shape
-    s = nms3x3(fast_score_map(img, threshold))
+    raw = fast_score_map(img, threshold)
+    s = nms3x3(raw)
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = ((xx >= border) & (xx < W - border)
@@ -79,10 +82,24 @@ def detect_level(img: jax.Array, threshold: float, max_kp: int,
     s = jnp.where(inside, s, 0.0)
     flat = s.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_kp)
-    x = (idx % W).astype(img.dtype)
-    y = (idx // W).astype(img.dtype)
+    x = (idx % W).astype(jnp.int32)
+    y = (idx // W).astype(jnp.int32)
+
+    # sub-pixel: 1D parabola fits on the raw score in x and y
+    def subpix(c0, cm, cp):
+        denom = cm - 2.0 * c0 + cp
+        off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        return jnp.clip(off, -0.5, 0.5)
+
+    s_c = raw[y, x]
+    off_x = subpix(s_c, raw[y, jnp.maximum(x - 1, 0)],
+                   raw[y, jnp.minimum(x + 1, W - 1)])
+    off_y = subpix(s_c, raw[jnp.maximum(y - 1, 0), x],
+                   raw[jnp.minimum(y + 1, H - 1), x])
+    xf = x.astype(img.dtype) + off_x
+    yf = y.astype(img.dtype) + off_y
     return Keypoints(
-        xy=jnp.stack([x, y], axis=-1),
+        xy=jnp.stack([xf, yf], axis=-1),
         score=vals,
         level=jnp.zeros(max_kp, jnp.int32),
         valid=vals > 0,

@@ -47,7 +47,7 @@ class Segments(NamedTuple):
 
 class LineDetectorConfig(NamedTuple):
     tile: int = 16
-    n_orient: int = 8
+    n_orient: int = 16
     mag_th: float = 30.0       # gradient magnitude threshold (8-bit scale)
     min_pix: float = 9.0       # min supporting pixels per cell-segment
     straight_th: float = 1.5   # max rms normal deviation (px)
@@ -90,11 +90,18 @@ def detect_segments(img: jax.Array, cfg: LineDetectorConfig = LineDetectorConfig
     mag = jnp.sqrt(gx * gx + gy * gy)
     edge = _edge_nms(mag, gx, gy) & (mag > cfg.mag_th)
 
-    # line orientation = gradient normal, in [0, pi)
-    theta = jnp.mod(jnp.arctan2(gy, gx) + 0.5 * jnp.pi, jnp.pi)
-    bin_w = jnp.pi / O
-    bin_idx = jnp.clip((theta / bin_w).astype(jnp.int32), 0, O - 1)
-    onehot = jax.nn.one_hot(bin_idx, O, dtype=dtype)          # (H, W, O)
+    # bin by the full signed gradient angle (2 pi): the two sides of a
+    # bright stripe have opposite gradient polarity and must form two
+    # separate lines (LSD level-line semantics), not pollute one fit
+    phi = jnp.mod(jnp.arctan2(gy, gx), 2.0 * jnp.pi)
+    bin_w = 2.0 * jnp.pi / O
+    # double assignment to the two nearest bins: a line whose angle sits on
+    # a bin boundary must not fragment into two half-populated fits
+    b0 = jnp.clip((phi / bin_w).astype(jnp.int32), 0, O - 1)
+    frac = phi / bin_w - b0.astype(dtype)
+    b1 = jnp.mod(jnp.where(frac >= 0.5, b0 + 1, b0 - 1), O)
+    onehot = (jax.nn.one_hot(b0, O, dtype=dtype)
+              + jax.nn.one_hot(b1, O, dtype=dtype))            # (H, W, O)
     w = jnp.where(edge, mag, 0.0)[..., None] * onehot          # (H, W, O)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(dtype)
@@ -221,6 +228,12 @@ def _merge_components(sp, ep, d, mass, valid, cfg: LineDetectorConfig) -> Segmen
     ep_o = ep_m[sel]
     length_o = length[sel]
     vmask = vals > 0
+    # canonical direction (PCA sign is arbitrary; descriptors and matching
+    # need a stable endpoint order): dx > 0, ties broken by dy > 0
+    dvec = ep_o - sp_o
+    flip = (dvec[:, 0] < 0) | ((jnp.abs(dvec[:, 0]) < 1e-9) & (dvec[:, 1] < 0))
+    sp_o, ep_o = (jnp.where(flip[:, None], ep_o, sp_o),
+                  jnp.where(flip[:, None], sp_o, ep_o))
     ang = jnp.arctan2(ep_o[:, 1] - sp_o[:, 1], ep_o[:, 0] - sp_o[:, 0])
     return Segments(sp=sp_o, ep=ep_o, angle=ang, length=length_o,
                     score=vals, valid=vmask)

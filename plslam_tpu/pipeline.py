@@ -1,0 +1,136 @@
+"""Full SLAM pipeline: tracking front-end + mapping back-end + global BA.
+
+Behavioral spec: reference ``app/plslam_dataset.cpp`` main loop (:43-194):
+per frame — insertStereoPair, optimizePose, needNewKF -> KeyFrame ->
+MapHandler::addKeyFrame; at the end — finishSLAM, globalBundleAdjustment
+(:169-176), SaveKeyFrameTrajectoryTUM.
+
+The reference couples Pluecker mode with a disabled loop-closure thread
+(README.md:12, mapHandler.cpp:1221-1226); the config system enforces the
+same coupling here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from .backend import ba as ba_mod
+from .backend.mapping import MapConfig, MapHandler
+from .config import PLSLAMConfig
+from .core.camera import StereoCamera
+from .io.trajectory import save_tum
+from .vo import VisualOdometry
+
+
+@dataclass
+class FrameLog:
+    """Structured per-frame metrics (replaces the reference's cout logging,
+    SURVEY.md §5 observability)."""
+
+    frame: int
+    t_total: float
+    n_inliers: int
+    err: float
+    good: bool
+    is_kf: bool
+    entropy_ratio: float
+
+
+class PLSLAM:
+    def __init__(self, cam: StereoCamera, config: PLSLAMConfig | None = None,
+                 map_cfg: MapConfig | None = None):
+        self.config = config or PLSLAMConfig()
+        if self.config.use_line_plucker and self.config.use_loop_closure:
+            # README.md:12 — loop closing must stay disabled in Pluecker mode
+            raise ValueError(
+                "loop closure cannot be enabled in Pluecker line mode "
+                "(reference constraint, README.md:12); set "
+                "use_line_plucker=False for the loop-closure baseline")
+        self.cam = cam
+        width = int(cam.width)
+        self.vo = VisualOdometry(
+            cam, self.config.frontend(max(width, int(cam.height))),
+            self.config.tracker())
+        mcfg = map_cfg or MapConfig(
+            use_lines=self.config.has_lines,
+            plucker_lines=self.config.use_line_plucker,
+            min_lm_obs=self.config.min_lm_obs,
+            min_lm_cov_graph=self.config.min_lm_cov_graph,
+            min_kf_local_map=self.config.min_kf_local_map,
+        )
+        self.mapper = MapHandler(cam, mcfg, self.config.ba())
+        self.logs: list[FrameLog] = []
+        self.kf_timestamps: list[float] = []
+        self._frame_idx = 0
+        self._initialized = False
+
+    # -- per-frame ---------------------------------------------------------
+
+    def process(self, img_l, img_r, timestamp: float = 0.0):
+        t0 = time.time()
+        il = jnp.asarray(img_l, jnp.float32)
+        ir = jnp.asarray(img_r, jnp.float32)
+        if not self._initialized:
+            feats = self.vo.initialize(il, ir)
+            self.mapper.initialize(np.eye(4), feats)
+            self.kf_timestamps.append(timestamp)
+            self._initialized = True
+            self._frame_idx += 1
+            return None
+        res = self.vo.process(il, ir)
+        is_kf = bool(res.is_kf)
+        if is_kf:
+            pose = np.asarray(res.T_f_w, np.float64)
+            self.mapper.add_keyframe(pose, self.vo.current_features)
+            self.vo.mark_keyframe()
+            self.kf_timestamps.append(timestamp)
+        self.logs.append(FrameLog(
+            frame=self._frame_idx, t_total=time.time() - t0,
+            n_inliers=int(res.n_inliers), err=float(res.err),
+            good=bool(res.good), is_kf=is_kf,
+            entropy_ratio=float(res.entropy_ratio)))
+        self._frame_idx += 1
+        return res
+
+    # -- end of run --------------------------------------------------------
+
+    def finish(self, run_gba: bool = True):
+        """finishSLAM + globalBundleAdjustment (app:169-176)."""
+        if run_gba and len(self.mapper.map.keyframes) >= 3:
+            self.global_bundle_adjustment()
+        return self.keyframe_trajectory()
+
+    def global_bundle_adjustment(self):
+        """GBA = the local BA machinery with every KF local and only KF0
+        fixed (mapHandler.cpp globalBundleAdjustment :3022)."""
+        mp = self.mapper
+        old_cfg = mp.cfg
+        import dataclasses as dc
+
+        k = len(mp.map.keyframes)
+        mp.cfg = dc.replace(
+            old_cfg, local_ba_kf=max(k, old_cfg.local_ba_kf),
+            min_kf_local_map=k + 1)
+        try:
+            prob, meta = mp.build_local_ba()
+            # only KF0 fixed for the global solve
+            fixed = np.zeros(prob.pose_fixed.shape, bool)
+            for s, kfid in enumerate(meta["local_ids"]):
+                fixed[s] = kfid == 0
+            prob = prob._replace(pose_fixed=jnp.asarray(fixed))
+            res = mp._ba_jit(prob, mp.cam, mp.ba_cfg)
+            mp._write_back(res, meta)
+        finally:
+            mp.cfg = old_cfg
+
+    def keyframe_trajectory(self):
+        return self.mapper.keyframe_trajectory()
+
+    def save_trajectory_tum(self, path: str):
+        """TUM t x y z qx qy qz qw per keyframe
+        (SaveKeyFrameTrajectoryTUM :5818)."""
+        save_tum(path, self.kf_timestamps, self.keyframe_trajectory())

@@ -23,6 +23,13 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
+# The axon TPU plugin ignores JAX_PLATFORMS and would route every op
+# through the remote TPU tunnel (slow dispatch, f32-only transcendentals,
+# no f64 LAPACK).  Pin the default device to the real CPU backend, which
+# honors the forced 8-device host platform for sharding tests.
+_cpus = jax.local_devices(backend="cpu")
+jax.config.update("jax_default_device", _cpus[0])
+
 # ---------------------------------------------------------------------------
 # This environment's eager (op-by-op) dispatch is pathologically slow
 # (~0.4 s/op through the axon plugin), while jitted calls are microseconds.

@@ -74,7 +74,7 @@ def test_orb_descriptors_match_across_shift():
     hits = 0
     total = 0
     for i in np.where(v1)[0]:
-        gt = np.where(v2 & (np.abs(xy2[:, 0] - 3 - xy1[i, 0]) < 2)
+        gt = np.where(v2 & (np.abs(xy2[:, 0] + 3 - xy1[i, 0]) < 2)
                       & (np.abs(xy2[:, 1] - xy1[i, 1]) < 2))[0]
         if len(gt) == 0:
             continue
@@ -121,25 +121,24 @@ def test_line_detector_recovers_segments():
 
 
 def test_lbd_descriptors_match_across_shift():
+    """Describe the same physical segments in two shifted renders: the
+    corresponding descriptor must be the Hamming nearest neighbor.  (Uses
+    ground-truth segments so the test isolates descriptor invariance from
+    detector fragmentation.)"""
     img1, segs = synthetic_lines_img()
+    shift = 4
     img2, _ = synthetic_lines_img(
-        segs=[((x0 + 4, y0), (x1 + 4, y1)) for (x0, y0), (x1, y1) in segs])
-    det = jax.jit(lambda im: lines.detect_segments(im))
-    s1 = det(img1)
-    s2 = det(img2)
-    d1 = jax.jit(lbd.describe)(img1, s1.sp, s1.ep, s1.valid)
-    d2 = jax.jit(lbd.describe)(img2, s2.sp, s2.ep, s2.valid)
+        segs=[((x0 + shift, y0), (x1 + shift, y1)) for (x0, y0), (x1, y1) in segs])
+    sp1 = jnp.asarray([[x0, y0] for (x0, y0), _ in segs], jnp.float32)
+    ep1 = jnp.asarray([[x1, y1] for _, (x1, y1) in segs], jnp.float32)
+    sp2 = sp1 + jnp.asarray([shift, 0.0])
+    ep2 = ep1 + jnp.asarray([shift, 0.0])
+    v = jnp.ones(len(segs), bool)
+    d1 = jax.jit(lbd.describe)(img1, sp1, ep1, v)
+    d2 = jax.jit(lbd.describe)(img2, sp2, ep2, v)
     dist = np.asarray(jax.jit(hamming_distance_matrix)(d1, d2))
-    v1, v2 = np.asarray(s1.valid), np.asarray(s2.valid)
-    m1 = 0.5 * (np.asarray(s1.sp) + np.asarray(s1.ep))
-    m2 = 0.5 * (np.asarray(s2.sp) + np.asarray(s2.ep))
-    hits = total = 0
-    for i in np.where(v1)[0]:
-        gt = np.where(v2 & (np.linalg.norm(m2 - np.array([4, 0]) - m1[i], axis=1) < 15))[0]
-        if len(gt) == 0:
-            continue
-        total += 1
-        if dist[i][v2].min() == dist[i][gt].min():
-            hits += 1
-    assert total >= 2
-    assert hits >= 0.6 * total, (hits, total)
+    # each segment's own counterpart is its nearest neighbor, by a margin
+    for i in range(len(segs)):
+        others = np.delete(dist[i], i)
+        assert dist[i, i] < others.min(), (i, dist)
+        assert dist[i, i] <= 40, (i, dist[i, i])
