@@ -1,0 +1,84 @@
+"""Benchmark: stereo VO throughput (frames/s) on the available accelerator.
+
+Runs the full per-frame hot path — stereo feature extraction (FAST+ORB
+pyramid, line detector + LBD, stereo matching) plus f2f association and the
+robust GN pose solve — on synthetic EuRoC-sized (752x480) stereo pairs, and
+reports tracked frames/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
+used here is 20 frames/s — the per-frame VO budget of the reference's
+class of systems (PL-SLAM reports ~40-60 ms/frame stereo VO on desktop
+CPUs; the repo itself only prints per-frame time at runtime,
+app/plslam_dataset.cpp:130-133).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.frame import FrontendConfig
+from plslam_tpu.frontend.tracker import TrackerConfig
+from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+from plslam_tpu.vo import VisualOdometry
+
+BASELINE_FPS = 20.0
+N_WARMUP = 3
+N_FRAMES = 20
+
+
+def main():
+    # EuRoC-sized frames, full-scale feature budget (config.cpp defaults)
+    scene = SyntheticScene(n_points=600, n_lines=60, seed=0,
+                           width=752, height=480,
+                           fx=435.2, fy=435.2, cx=367.4, cy=252.2)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy, scene.b,
+                              width=scene.width, height=scene.height)
+    vo = VisualOdometry(cam, FrontendConfig(n_points=1200, n_lines=256),
+                        TrackerConfig())
+
+    poses = circular_trajectory(N_WARMUP + N_FRAMES + 1, step_t=0.05)
+    frames = []
+    for T in poses:
+        il, ir = scene.render_stereo(T, noise=1.0)
+        frames.append((jnp.asarray(il), jnp.asarray(ir)))
+
+    vo.initialize(*frames[0])
+    for i in range(1, N_WARMUP + 1):
+        res = vo.process(*frames[i])
+    jax.block_until_ready(res)
+
+    t0 = time.time()
+    good = 0
+    for i in range(N_WARMUP + 1, N_WARMUP + 1 + N_FRAMES):
+        res = vo.process(*frames[i])
+        good += int(res.good)
+    jax.block_until_ready(res)
+    dt = time.time() - t0
+
+    fps = N_FRAMES / dt
+    out = {
+        "metric": "stereo_vo_tracked_frames_per_s",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(out))
+    print(f"# device={jax.devices()[0].platform} good_frames={good}/{N_FRAMES} "
+          f"wall={dt:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -164,7 +164,10 @@ class SlamMap:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def _match_projected(desc1, xy1, valid1, desc2, xy2, valid2, window, nnr):
     """Descriptor matching constrained to a projected pixel window
     (matchKF2KF* grid matching semantics, :253-281)."""

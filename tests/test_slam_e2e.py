@@ -1,0 +1,82 @@
+"""Full SLAM pipeline end-to-end: rendered images in, keyframe map + BA-
+refined trajectory out (config #2 of BASELINE.md on synthetic data)."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam_tpu.backend.mapping import MapConfig
+from plslam_tpu.config import PLSLAMConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+from plslam_tpu.io.trajectory import ate_rmse
+from plslam_tpu.pipeline import PLSLAM
+
+N_FRAMES = 10
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    scene = SyntheticScene(seed=5)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy, scene.b,
+                              width=scene.width, height=scene.height,
+                              dtype=jnp.float32)
+    cfg = PLSLAMConfig(orb_nfeatures=512, lsd_nfeatures=128, orb_fast_th=15,
+                       min_entropy_ratio=0.99)  # aggressive KF creation
+    slam = PLSLAM(cam, cfg, MapConfig(local_ba_kf=8, ba_points=2048,
+                                      ba_lines=256, ba_pobs=8192,
+                                      ba_lobs=2048))
+    poses_gt = circular_trajectory(N_FRAMES, step_t=0.12, step_r=0.015)
+    for i, T in enumerate(poses_gt):
+        il, ir = scene.render_stereo(T)
+        slam.process(jnp.asarray(il), jnp.asarray(ir), timestamp=0.05 * i)
+    traj = slam.finish(run_gba=True)
+    return slam, poses_gt, traj
+
+
+def test_slam_produces_keyframes_and_landmarks(slam_run):
+    slam, poses_gt, traj = slam_run
+    mp = slam.mapper.map
+    assert len(mp.keyframes) >= 3
+    assert mp.pt_valid.sum() > 100
+    n_multi = sum(1 for o in mp.pt_obs if len(o) >= 2)
+    assert n_multi > 50, n_multi
+
+
+def test_slam_trajectory_accuracy(slam_run):
+    slam, poses_gt, traj = slam_run
+    # associate each keyframe with its ground-truth frame by timestamp
+    kf_times = slam.kf_timestamps
+    gt_pos = np.stack([poses_gt[int(round(t / 0.05))][:3, 3] for t in kf_times])
+    est_pos = np.stack([np.asarray(T)[:3, 3] for T in traj])
+    err = ate_rmse(est_pos, gt_pos, align=True)
+    # ~1 m travel; demand cm-level SLAM output
+    assert err < 0.03, err
+
+
+def test_slam_covisibility_populated(slam_run):
+    slam, _, _ = slam_run
+    cv = slam.mapper.map.covis
+    assert cv.shape[0] == len(slam.mapper.map.keyframes)
+    if cv.shape[0] >= 2:
+        assert cv[cv.shape[0] - 1, cv.shape[0] - 2] > 0
+
+
+def test_slam_tum_export(slam_run):
+    slam, _, _ = slam_run
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "traj.txt")
+        slam.save_trajectory_tum(path)
+        lines = open(path).read().strip().splitlines()
+        assert len(lines) == len(slam.mapper.map.keyframes)
+        assert all(len(l.split()) == 8 for l in lines)
+
+
+def test_plucker_mode_rejects_loop_closure():
+    cam = StereoCamera.create(200.0, 200.0, 160.0, 120.0, 0.11)
+    cfg = PLSLAMConfig(use_line_plucker=True, use_loop_closure=True)
+    with pytest.raises(ValueError):
+        PLSLAM(cam, cfg)
