@@ -61,7 +61,7 @@ def load_euroc_calib(params_file: str) -> RectifiedCalib:
     Dl = np.asarray(c["Dl"], np.float64)
     Dr = np.asarray(c["Dr"], np.float64)
     R = np.asarray(c["R"], np.float64).reshape(3, 3)
-    t = np.asarray(c["t"], np.float64)
+    t = np.asarray(c["t"], np.float64).reshape(3, 1)
     Rl, Rr, Pl, Pr, Q, _, _ = cv2.stereoRectify(
         Kl, Dl, Kr, Dr, (w, h), R, t, flags=cv2.CALIB_ZERO_DISPARITY, alpha=0)
     m1l, m2l = cv2.initUndistortRectifyMap(Kl, Dl, Rl, Pl, (w, h), cv2.CV_32FC1)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .core import lie
 from .core.camera import StereoCamera
 from .frontend import f2f
-from .frontend.frame import FrontendConfig, extract_stereo_features
+from .frontend.frame import FrontendConfig, make_extractor
 from .frontend.features import StereoFeatures
 from .frontend.tracker import TrackerConfig, optimize_pose
 
@@ -121,8 +121,7 @@ class VisualOdometry:
         self.fcfg = fcfg
         self.tcfg = tcfg
         self.dtype = dtype
-        self._extract = jax.jit(
-            lambda il, ir: extract_stereo_features(il, ir, cam, fcfg))
+        self._extract = make_extractor(cam, fcfg)
         self.state: Optional[VOState] = None
 
     def initialize(self, img_l, img_r) -> StereoFeatures:
