@@ -69,6 +69,7 @@ class KeyframeRecord:
 
     def __init__(self, kf_id: int, pose: np.ndarray, feats: StereoFeatures):
         self.id = kf_id
+        self.active = True
         self.T_w_k = pose.astype(np.float64)        # camera -> world
         self.pt_uv = np.asarray(feats.points.uv)
         self.pt_P = np.asarray(feats.points.P)
@@ -156,7 +157,8 @@ class SlamMap:
         local[max(0, k - self.cfg.min_kf_local_map):] = True
         if k > 1:
             local |= self.covis[newest] >= self.cfg.min_lm_cov_graph
-        return local
+        active = np.asarray([kf.active for kf in self.keyframes])
+        return local & active
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +586,40 @@ class MapHandler:
                     and len(mp.ls_obs[i]) < self.cfg.min_lm_obs):
                 mp.ls_valid[i] = False
 
+    def cull_redundant_keyframes(self, max_common: float = 0.9):
+        """removeRedundantKFs (:3899-4047): deactivate keyframes whose
+        tracked landmarks are >= max_common shared with other keyframes;
+        their observations are dropped from the landmark tables (keyframe
+        poses stay, flagged inactive, excluded from local maps and BA).
+        KF0 and the two newest KFs are never culled."""
+        mp = self.map
+        k = len(mp.keyframes)
+        removed = []
+        for kf in mp.keyframes[1:max(1, k - 2)]:
+            if not kf.active:
+                continue
+            lm_ids = [lm for lm in kf.pt_lm if lm >= 0 and mp.pt_valid[lm]]
+            if len(lm_ids) < 10:
+                continue
+            shared = sum(
+                1 for lm in lm_ids
+                if sum(1 for kfi, _ in mp.pt_obs[lm]
+                       if kfi != kf.id and mp.keyframes[kfi].active) >= 2)
+            if shared / len(lm_ids) >= max_common:
+                kf.active = False
+                removed.append(kf.id)
+                for lm in range(len(mp.pt_valid)):
+                    mp.pt_obs[lm] = [(kfi, fi) for kfi, fi in mp.pt_obs[lm]
+                                     if kfi != kf.id]
+                for lm in range(len(mp.ls_valid)):
+                    mp.ls_obs[lm] = [(kfi, fi) for kfi, fi in mp.ls_obs[lm]
+                                     if kfi != kf.id]
+                mp.covis[kf.id, :] = 0
+                mp.covis[:, kf.id] = 0
+        return removed
+
     # -- trajectory export -------------------------------------------------
 
-    def keyframe_trajectory(self):
-        return [kf.T_w_k for kf in self.map.keyframes]
+    def keyframe_trajectory(self, include_inactive: bool = True):
+        return [kf.T_w_k for kf in self.map.keyframes
+                if include_inactive or kf.active]

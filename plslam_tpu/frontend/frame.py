@@ -73,16 +73,20 @@ def make_extractor(cam: StereoCamera, cfg: FrontendConfig):
     StereoFeatures."""
     import functools
 
-    det_pts = jax.jit(lambda im: _detect_describe_points(im, cfg))
+    det_pts = jax.jit(lambda im, th: _detect_describe_points(im, cfg, th))
     det_ls = jax.jit(lambda im: _detect_describe_lines(im, cfg))
     match_pts = jax.jit(
         lambda kl, dl, kr, dr: _match_stereo_points(kl, dl, kr, dr, cam, cfg))
     match_ls = jax.jit(
         lambda sl, dl, sr, dr: _match_stereo_lines(sl, dl, sr, dr, cam, cfg))
 
-    def extract(img_l, img_r) -> StereoFeatures:
-        kp_l, pdesc_l = det_pts(img_l)
-        kp_r, pdesc_r = det_pts(img_r)
+    def extract(img_l, img_r, fast_th=None) -> StereoFeatures:
+        import jax.numpy as jnp
+
+        th = jnp.asarray(cfg.fast_th if fast_th is None else fast_th,
+                         jnp.float32)
+        kp_l, pdesc_l = det_pts(img_l, th)
+        kp_r, pdesc_r = det_pts(img_r, th)
         seg_l, ldesc_l = det_ls(img_l)
         seg_r, ldesc_r = det_ls(img_r)
         points = match_pts(kp_l, pdesc_l, kp_r, pdesc_r)
@@ -97,11 +101,12 @@ def make_extractor(cam: StereoCamera, cfg: FrontendConfig):
 # ---------------------------------------------------------------------------
 
 
-def _detect_describe_points(img, cfg: FrontendConfig):
+def _detect_describe_points(img, cfg: FrontendConfig, fast_th=None):
     from ..ops.image import build_pyramid
 
+    th = cfg.fast_th if fast_th is None else fast_th
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-    kp = fast.detect_pyramid(levels, cfg.fast_th, cfg.n_points, cfg.edge_th,
+    kp = fast.detect_pyramid(levels, th, cfg.n_points, cfg.edge_th,
                              cfg.scale_factor)
     desc, _ = orb.describe(img, kp.xy, kp.valid)
     return kp, desc

@@ -39,6 +39,7 @@ def save_map(path: str, mapper: MapHandler) -> None:
     data["ls_obs"] = np.asarray(ls_obs, np.int64).reshape(-1, 3)
     for i, kf in enumerate(mp.keyframes):
         data[f"kf{i}_pose"] = kf.T_w_k
+        data[f"kf{i}_active"] = np.asarray(kf.active)
         for f in _KF_FIELDS:
             data[f"kf{i}_{f}"] = getattr(kf, f)
     np.savez_compressed(path, **data)
@@ -70,6 +71,7 @@ def load_map(path: str, mapper: MapHandler) -> MapHandler:
         kf = KeyframeRecord.__new__(KeyframeRecord)
         kf.id = i
         kf.T_w_k = z[f"kf{i}_pose"]
+        kf.active = bool(z[f"kf{i}_active"]) if f"kf{i}_active" in z else True
         for f in _KF_FIELDS:
             setattr(kf, f, z[f"kf{i}_{f}"])
         mp.keyframes.append(kf)

@@ -50,14 +50,15 @@ class VOState(NamedTuple):
     prev_was_kf: jax.Array
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(5,))
 def _track_and_optimize(prev_feats: StereoFeatures, curr_feats: StereoFeatures,
-                        state_small, cam: StereoCamera, tcfg: TrackerConfig):
+                        state_small, DT_init, cam: StereoCamera,
+                        tcfg: TrackerConfig):
     """f2f association + pose GN + KF statistics in one program."""
     (T_f_w_prev, cov_prev, T_prevKF, cov_accum, entropy_first,
      frames_since_kf, prev_was_kf) = state_small
     pts, ls, _, _ = f2f.track_frame_to_frame(prev_feats, curr_feats)
-    est, pts2, ls2 = optimize_pose(pts, ls, cam, tcfg)
+    est, pts2, ls2 = optimize_pose(pts, ls, cam, tcfg, DT_init=DT_init)
 
     # pose chaining (optimizePose :385-394): DT maps prev-frame points into
     # the curr frame; frame pose composes with its inverse.
@@ -116,13 +117,25 @@ class VisualOdometry:
     def __init__(self, cam: StereoCamera,
                  fcfg: FrontendConfig = FrontendConfig(),
                  tcfg: TrackerConfig = TrackerConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32,
+                 adaptative_fast: bool = True,
+                 fast_min_th: float = 5.0, fast_max_th: float = 50.0,
+                 fast_inc_th: float = 5.0, fast_feat_th: int = 50,
+                 fast_err_th: float = 0.5,
+                 use_motion_model: bool = False):
         self.cam = cam
         self.fcfg = fcfg
         self.tcfg = tcfg
         self.dtype = dtype
         self._extract = make_extractor(cam, fcfg)
         self.state: Optional[VOState] = None
+        # adaptative FAST threshold protocol (updateFrame :66-86)
+        self.adaptative_fast = adaptative_fast
+        self.fast_th = float(fcfg.fast_th)
+        self._fast_params = (fast_min_th, fast_max_th, fast_inc_th,
+                             fast_feat_th, fast_err_th)
+        self.use_motion_model = use_motion_model
+        self._prev_DT = None
 
     def initialize(self, img_l, img_r) -> StereoFeatures:
         feats = self._extract(img_l, img_r)
@@ -142,18 +155,47 @@ class VisualOdometry:
         (currFrameIsKF :1518 semantics)."""
         assert self.state is not None, "call initialize() first"
         st = self.state
-        feats = self._extract(img_l, img_r)
+        feats = self._extract(img_l, img_r, self.fast_th)
         small = (st.T_f_w, st.T_f_w_cov, st.T_prevKF, st.cov_prevKF_accum,
                  st.entropy_first, st.frames_since_kf, st.prev_was_kf)
+        # constant motion model (optimizePose :318-330): warm-start from
+        # the previous inter-frame motion when enabled and healthy
+        if self.use_motion_model and self._prev_DT is not None:
+            DT_init = self._prev_DT
+        else:
+            DT_init = jnp.eye(4, dtype=self.dtype)
         res, cov, cov_accum, entropy_first = _track_and_optimize(
-            st.features, feats, small, self.cam, self.tcfg)
+            st.features, feats, small, DT_init, self.cam, self.tcfg)
+        self._prev_DT = res.DT if bool(res.good) else None
         self.state = st._replace(
             features=feats, T_f_w=res.T_f_w, T_f_w_cov=cov,
             cov_prevKF_accum=cov_accum, entropy_first=entropy_first,
             frames_since_kf=st.frames_since_kf + 1,
             prev_was_kf=jnp.asarray(False),
         )
+        if self.adaptative_fast:
+            self._update_fast_th(res)
         return res
+
+    def _update_fast_th(self, res: FrameResult):
+        """Adaptative FAST threshold (stereoFrameHandler.cpp
+        updateFrame :66-86): lower on weak tracking / few inliers, raise
+        when features are abundant."""
+        mn, mx, inc, feat_th, err_th = self._fast_params
+        n = int(res.n_inliers)
+        err = float(res.err)
+        th = self.fast_th
+        if not bool(res.good) or err > err_th:
+            th = max(mn, th - 2 * inc)
+        elif n < feat_th:
+            th = max(mn, th - 2 * inc)
+        elif n < feat_th * 2:
+            th = max(mn, th - inc)
+        elif n > feat_th * 4:
+            th = min(mx, th + 2 * inc)
+        elif n > feat_th * 3:
+            th = min(mx, th + inc)
+        self.fast_th = th
 
     def mark_keyframe(self):
         """Reset the KF statistics after the mapping layer inserts a KF."""
