@@ -61,12 +61,12 @@ def main():
     jax.block_until_ready(res)
 
     t0 = time.time()
-    good = 0
+    results = []
     for i in range(N_WARMUP + 1, N_WARMUP + 1 + N_FRAMES):
-        res = vo.process(*frames[i])
-        good += int(res.good)
-    jax.block_until_ready(res)
+        results.append(vo.process(*frames[i]))
+    jax.block_until_ready(results[-1])
     dt = time.time() - t0
+    good = sum(int(r.good) for r in results)
 
     fps = N_FRAMES / dt
     out = {

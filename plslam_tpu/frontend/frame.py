@@ -65,6 +65,18 @@ def extract_stereo_features(
     return StereoFeatures(points=points, lines=line_set)
 
 
+def make_batched_detectors(cfg: FrontendConfig):
+    """Two jit programs that detect+describe on a stacked (2, H, W) image
+    pair at once (left/right vmapped) — halves the per-frame dispatch count
+    versus calling per-image, which matters when dispatch latency is high
+    (remote-tunnel TPU)."""
+    det_pts = jax.jit(
+        jax.vmap(lambda im, th: _detect_describe_points(im, cfg, th),
+                 in_axes=(0, None)))
+    det_ls = jax.jit(jax.vmap(lambda im: _detect_describe_lines(im, cfg)))
+    return det_pts, det_ls
+
+
 def make_extractor(cam: StereoCamera, cfg: FrontendConfig):
     """Staged extractor: per-image detection and stereo matching compile as
     separate programs (each reused for left/right), cutting end-to-end
