@@ -58,13 +58,16 @@ def main():
     vo.initialize(*frames[0])
     for i in range(1, N_WARMUP + 1):
         res = vo.process(*frames[i])
-    jax.block_until_ready(res)
+    _ = float(res.err)
 
     t0 = time.time()
     results = []
     for i in range(N_WARMUP + 1, N_WARMUP + 1 + N_FRAMES):
         results.append(vo.process(*frames[i]))
-    jax.block_until_ready(results[-1])
+    # force the whole sequential chain: frame N depends on frame N-1's
+    # state, so fetching the last frame's scalar syncs everything.
+    # (block_until_ready alone is unreliable on the axon runtime.)
+    _ = float(results[-1].err)
     dt = time.time() - t0
     good = sum(int(r.good) for r in results)
 

@@ -586,6 +586,31 @@ class MapHandler:
                     and len(mp.ls_obs[i]) < self.cfg.min_lm_obs):
                 mp.ls_valid[i] = False
 
+    def refresh_landmark_descriptors(self):
+        """Median-descriptor election (mapFeatures.cpp
+        updateAverageDescDir :52-140): each landmark's representative
+        descriptor becomes the observation descriptor with minimal summed
+        Hamming distance to the others.  Batched on device per landmark."""
+        mp = self.map
+        for lm in range(len(mp.pt_valid)):
+            obs = mp.pt_obs[lm]
+            if not mp.pt_valid[lm] or len(obs) < 3:
+                continue
+            descs = np.stack([self.map.keyframes[k].pt_desc[fi]
+                              for k, fi in obs])
+            D = np.asarray(hamming_distance_matrix(
+                jnp.asarray(descs), jnp.asarray(descs)))
+            mp.pt_desc[lm] = descs[int(D.sum(1).argmin())]
+        for lm in range(len(mp.ls_valid)):
+            obs = mp.ls_obs[lm]
+            if not mp.ls_valid[lm] or len(obs) < 3:
+                continue
+            descs = np.stack([self.map.keyframes[k].ls_desc[fi]
+                              for k, fi in obs])
+            D = np.asarray(hamming_distance_matrix(
+                jnp.asarray(descs), jnp.asarray(descs)))
+            mp.ls_desc[lm] = descs[int(D.sum(1).argmin())]
+
     def cull_redundant_keyframes(self, max_common: float = 0.9):
         """removeRedundantKFs (:3899-4047): deactivate keyframes whose
         tracked landmarks are >= max_common shared with other keyframes;

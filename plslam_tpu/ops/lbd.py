@@ -61,8 +61,13 @@ def describe(img: jax.Array, sp: jax.Array, ep: jax.Array, valid: jax.Array):
     along = sp[:, None, None, :] + t_along[None, None, :, None] * d[:, None, None, :]
     coords = along + t_across[None, :, None, None] * dn[:, None, None, :]
 
-    sx = bilinear_sample(gx, coords)   # (K, B*W, S)
-    sy = bilinear_sample(gy, coords)
+    # nearest-neighbor gradient sampling (one gather per image instead of
+    # four bilinear taps; band statistics are robust to half-pixel jitter)
+    H, W = gx.shape
+    xi = jnp.clip(jnp.round(coords[..., 0]), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(coords[..., 1]), 0, H - 1).astype(jnp.int32)
+    sx = gx[yi, xi]   # (K, B*W, S)
+    sy = gy[yi, xi]
     g_par = sx * dl[:, None, None, 0] + sy * dl[:, None, None, 1]
     g_nrm = sx * dn[:, None, None, 0] + sy * dn[:, None, None, 1]
 

@@ -86,10 +86,13 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
     px, py = pat[..., 0], pat[..., 1]       # (256, 2)
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
-    coords = jnp.stack(
-        [xy[:, None, None, 0] + rx, xy[:, None, None, 1] + ry], axis=-1
-    )  # (K, 256, 2, 2[xy])
-    vals = bilinear_sample(smoothed, coords)  # (K, 256, 2)
+    # nearest-neighbor sampling on the blurred image (OpenCV ORB rounds to
+    # integer positions too); one gather instead of four bilinear taps —
+    # the descriptor gather is the VO hot spot on TPU.
+    H, W = smoothed.shape
+    xi = jnp.clip(jnp.round(xy[:, None, None, 0] + rx), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(xy[:, None, None, 1] + ry), 0, H - 1).astype(jnp.int32)
+    vals = smoothed[yi, xi]  # (K, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (K, 256)
     desc = pack_bits(bits)
     desc = jnp.where(valid[:, None], desc, 0)

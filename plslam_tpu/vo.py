@@ -182,6 +182,18 @@ class VisualOdometry:
                                use_motion_model=use_motion_model,
                                **fast_params)
         self._det_pts, self._det_ls = make_batched_detectors(fcfg)
+
+        def _match_pair(kp_pair, seg_pair):
+            (kp, pdesc) = kp_pair
+            (seg, ldesc) = seg_pair
+            take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
+            points = _match_stereo_points(take(kp, 0), pdesc[0], take(kp, 1),
+                                          pdesc[1], cam, fcfg)
+            line_set = _match_stereo_lines(take(seg, 0), ldesc[0],
+                                           take(seg, 1), ldesc[1], cam, fcfg)
+            return StereoFeatures(points=points, lines=line_set)
+
+        self._match_pair = jax.jit(_match_pair)
         self.state: Optional[VOState] = None
 
     def _extract_pair(self, img_l, img_r, fast_th):
@@ -194,13 +206,8 @@ class VisualOdometry:
         """Full StereoFeatures extraction (used at init / by the mapper)."""
         th = jnp.asarray(self.fcfg.fast_th if fast_th is None else fast_th,
                          jnp.float32)
-        (kp, pdesc), (seg, ldesc) = self._extract_pair(img_l, img_r, th)
-        take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
-        points = _match_stereo_points(take(kp, 0), pdesc[0], take(kp, 1),
-                                      pdesc[1], self.cam, self.fcfg)
-        line_set = _match_stereo_lines(take(seg, 0), ldesc[0], take(seg, 1),
-                                       ldesc[1], self.cam, self.fcfg)
-        return StereoFeatures(points=points, lines=line_set)
+        kp_pair, seg_pair = self._extract_pair(img_l, img_r, th)
+        return self._match_pair(kp_pair, seg_pair)
 
     def initialize(self, img_l, img_r) -> StereoFeatures:
         feats = self._extract(img_l, img_r)
