@@ -182,6 +182,35 @@ class PLSLAMConfig:
             max_kf_r_dist=self.max_kf_r_dist,
         )
 
+    def map_cfg(self):
+        from .backend.mapping import MapConfig
+
+        return MapConfig(
+            min_lm_obs=self.min_lm_obs,
+            min_lm_cov_graph=self.min_lm_cov_graph,
+            min_kf_local_map=self.min_kf_local_map,
+            max_kf_epip_p=self.max_kf_epip_p,
+            max_kf_epip_l=self.max_kf_epip_l,
+            nnr=self.min_ratio_12_p,
+            use_lines=self.has_lines,
+            plucker_lines=self.use_line_plucker,
+        )
+
+    def loop_cfg(self):
+        from .backend.loop import LoopConfig
+
+        return LoopConfig(
+            lc_kf_dist=self.lc_kf_dist,
+            lc_nkf_closest=self.lc_nkf_closest,
+            lc_res=self.lc_res,
+            lc_unc=self.lc_unc,
+            lc_trs=self.lc_trs,
+            lc_rot=self.lc_rot,
+            min_pt_matches=self.min_pt_matches,
+            pgo_iters=min(self.max_iters_pgo, 25),
+            fuse_dist=self.max_point_point_error,
+        )
+
     def ba(self):
         from .backend.ba import BAConfig
 

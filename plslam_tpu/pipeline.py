@@ -63,6 +63,13 @@ class PLSLAM:
             min_kf_local_map=self.config.min_kf_local_map,
         )
         self.mapper = MapHandler(cam, mcfg, self.config.ba())
+        self.loop_closer = None
+        if self.config.use_loop_closure:
+            from .backend.loop import LoopCloser
+
+            self.loop_closer = LoopCloser(cam, self.mapper,
+                                          self.config.loop_cfg())
+        self.loop_reports: list[dict] = []
         self.logs: list[FrameLog] = []
         self.kf_timestamps: list[float] = []
         self._frame_idx = 0
@@ -88,6 +95,10 @@ class PLSLAM:
             self.mapper.add_keyframe(pose, self.vo.current_features)
             self.vo.mark_keyframe()
             self.kf_timestamps.append(timestamp)
+            if self.loop_closer is not None:
+                report = self.loop_closer.on_new_keyframe()
+                if report:
+                    self.loop_reports.append(report)
         self.logs.append(FrameLog(
             frame=self._frame_idx, t_total=time.time() - t0,
             n_inliers=int(res.n_inliers), err=float(res.err),

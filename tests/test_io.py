@@ -1,0 +1,73 @@
+"""IO-layer tests: ground-truth parsing (against the reference's shipped
+EuRoC data), TUM round trip, timestamp association."""
+
+import os
+
+import numpy as np
+import pytest
+
+from plslam_tpu.io.euroc import load_groundtruth
+from plslam_tpu.io.trajectory import (
+    associate_timestamps,
+    ate_rmse,
+    rotation_to_quat,
+    save_tum,
+    umeyama_alignment,
+)
+
+REF_GT = "/root/reference/config/asl/gt-ass/mh_01/groundtruth.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GT), reason="reference data absent")
+def test_parse_reference_groundtruth():
+    t, pos = load_groundtruth(REF_GT)
+    assert pos.shape[1] == 3
+    assert len(pos) > 100
+    # EuRoC MH_01 spans tens of meters
+    extent = pos.max(0) - pos.min(0)
+    assert extent.max() > 5.0
+
+
+def test_umeyama_recovers_rigid_transform():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 3))
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t = np.array([1.0, -2.0, 0.5])
+    y = (R @ x.T).T + t
+    s, R2, t2 = umeyama_alignment(x, y)
+    np.testing.assert_allclose(R2, R, atol=1e-10)
+    np.testing.assert_allclose(t2, t, atol=1e-10)
+    assert ate_rmse(x, y, align=True) < 1e-10
+
+
+def test_quat_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        v = rng.normal(size=3)
+        ang = np.linalg.norm(v)
+        axis = v / ang
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+        q = rotation_to_quat(R)
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-12)
+
+
+def test_tum_save_format(tmp_path):
+    poses = [np.eye(4), np.eye(4)]
+    poses[1][:3, 3] = [1, 2, 3]
+    p = tmp_path / "t.txt"
+    save_tum(str(p), [0.0, 0.1], poses)
+    rows = [l.split() for l in open(p).read().splitlines()]
+    assert len(rows) == 2 and len(rows[0]) == 8
+    assert float(rows[1][1]) == 1.0
+
+
+def test_associate_timestamps():
+    t_est = [0.0, 1.0, 2.0, 3.0]
+    t_gt = [0.005, 0.9, 1.99, 5.0]
+    ie, ig = associate_timestamps(t_est, t_gt, max_dt=0.05)
+    assert list(ie) == [0, 2]
+    assert list(ig) == [0, 2]
