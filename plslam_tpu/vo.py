@@ -106,7 +106,7 @@ def _match_and_track(kp_pair, seg_pair, state: VOState, cam: StereoCamera,
     I4 = jnp.eye(4, dtype=state.T_f_w.dtype)
     DT_init = (jnp.where(state.prev_good, state.prev_DT, I4)
                if prm.use_motion_model else I4)
-    est, _, _ = optimize_pose(pts, ls, cam, tcfg, DT_init=DT_init)
+    est, pts_out, _ = optimize_pose(pts, ls, cam, tcfg, DT_init=DT_init)
 
     # pose chaining (optimizePose :385-394)
     DT_pose = lie.inv_se3(est.DT)
@@ -137,10 +137,11 @@ def _match_and_track(kp_pair, seg_pair, state: VOState, cam: StereoCamera,
         | (state.frames_since_kf >= 10)
     )
 
-    # adaptative FAST threshold (updateFrame :66-86), on device
+    # adaptative FAST threshold (updateFrame :66-86), on device.
+    # The reference counts POINT inliers only (n_inliers_pt).
     th = state.fast_th
     if prm.adaptative_fast:
-        n = est.n_inliers
+        n = jnp.sum((pts_out.valid & pts_out.inlier).astype(jnp.int32))
         inc = prm.fast_inc_th
         feat = prm.fast_feat_th
         bad = ~est.good | (est.err > prm.fast_err_th)
