@@ -16,11 +16,19 @@ from .features import StereoFeatures, TrackedLines, TrackedPoints
 
 
 def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
-                         nnr: float = 0.9):
+                         nnr: float = 0.9, window: float = 120.0):
     """Build (TrackedPoints, TrackedLines): prev-frame 3D geometry paired
-    with curr-frame 2D observations."""
+    with curr-frame 2D observations.
+
+    ``window`` bounds the admissible image motion per frame (px) for both
+    modalities — the tensorized analog of the reference's grid-windowed
+    matching (matching.cpp:111-235).  It removes physically impossible
+    correspondences that mutual-NNR alone occasionally lets through, which
+    matters because the robust MAD scale of the pose solver has a 50%
+    breakdown point and line counts per frame are small."""
     p_prev, p_curr = prev.points, curr.points
-    pm = p_prev.valid[:, None] & p_curr.valid[None, :]
+    pm = M.window_pair_mask(p_prev.uv, p_curr.uv, p_prev.valid, p_curr.valid,
+                            radius_x=window, radius_y=window)
     pmatch = M.match_descriptors(p_prev.desc, p_curr.desc, pm, nnr)
     pj = jnp.clip(pmatch.idx, 0, p_curr.capacity - 1)
     p_ok = (pmatch.idx >= 0) & p_prev.valid
@@ -34,10 +42,10 @@ def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
 
     l_prev, l_curr = prev.lines, curr.lines
     lm = l_prev.valid[:, None] & l_curr.valid[None, :]
-    # direction similarity filter as in the line matcher
+    # direction similarity + motion window, as in the line matcher
     lmask = lm & M.line_pair_mask(
         l_prev.sp, l_prev.ep, l_curr.sp, l_curr.ep,
-        l_prev.valid, l_curr.valid, radius=1e9, min_dir_cos=0.75)
+        l_prev.valid, l_curr.valid, radius=window, min_dir_cos=0.75)
     lmatch = M.match_descriptors(l_prev.desc, l_curr.desc, lmask, nnr)
     lj = jnp.clip(lmatch.idx, 0, l_curr.capacity - 1)
     l_ok = (lmatch.idx >= 0) & l_prev.valid

@@ -47,6 +47,13 @@ class TrackerConfig(NamedTuple):
     min_entropy_ratio: float = 0.85
     max_kf_t_dist: float = 5.0
     max_kf_r_dist: float = 15.0
+    # Line-outlier hardening beyond the reference (its MAD-only rejection
+    # has a 50% breakdown point, fatal at the handful of line matches a
+    # low-texture frame yields): defer lines to the refinement round while
+    # points are plentiful, and absolutely gate line residuals at the
+    # round-1 pose.
+    defer_lines_min_pts: int = 30
+    line_abs_gate: float = 3.0
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +306,10 @@ def remove_outliers(
         m_l = ls.valid
         mean_l, stdv_l = robust.mean_stdv_mad(r_l, m_l)
         keep_l = jnp.abs(r_l - mean_l) <= cfg.inlier_k * stdv_l
+        # absolute gate: MAD breaks down at the small line counts of
+        # low-texture frames (2 bad of 4 matched lines is a 50% outlier
+        # fraction); a wrong match sits tens-to-hundreds of px off
+        keep_l = keep_l & (jnp.abs(r_l) <= cfg.line_abs_gate)
         ls = ls._replace(inlier=ls.inlier & (keep_l | ~ls.valid))
     return pts, ls
 
@@ -347,7 +358,13 @@ def optimize_pose(
           + jnp.sum((ls.valid & ls.inlier).astype(jnp.int32)))
     enough0 = n0 >= cfg.min_features
 
-    first = gauss_newton(DT0, pts, ls, cam, cfg, cfg.max_iters)
+    # round 1: when points are plentiful they fix the pose alone — a wrong
+    # line match among few lines would otherwise drag GN into its basin;
+    # in line-dominant frames lines participate as in the reference
+    n_pts0 = jnp.sum((pts.valid & pts.inlier).astype(jnp.int32))
+    defer = cfg.use_points & (n_pts0 >= cfg.defer_lines_min_pts)
+    ls_r1 = ls._replace(inlier=ls.inlier & ~defer)
+    first = gauss_newton(DT0, pts, ls_r1, cam, cfg, cfg.max_iters)
     good1 = is_good_solution(first.DT, first.cov, first.err) & enough0
 
     pts2, ls2 = remove_outliers(first.DT, pts, ls, cam, cfg)
@@ -359,7 +376,10 @@ def optimize_pose(
           + jnp.sum((ls2.valid & ls2.inlier).astype(jnp.int32)))
     enough1 = n1 >= cfg.min_features
 
-    refined = gauss_newton(DT0, pts2, ls2, cam, cfg, cfg.max_iters_ref)
+    # refine FROM the round-1 estimate (optimizePose :352 keeps DT), not
+    # from scratch — restarting loses the basin round 1 found
+    DT_ref0 = jnp.where(good1, first.DT, DT0)
+    refined = gauss_newton(DT_ref0, pts2, ls2, cam, cfg, cfg.max_iters_ref)
     use_refined = good1 & enough1
 
     DT = jnp.where(use_refined, refined.DT, jnp.where(good1, first.DT, I4))

@@ -1,15 +1,18 @@
-"""Line Band Descriptor (LBD), batched.
+"""Line Band Descriptor (LBD), batched, gather-free.
 
 Replaces the vendored BinaryDescriptor (3rdparty/line_descriptor,
 binary_descriptor_custom.cpp:836-848: band-based statistics over a line
 support region, binarized to 256 bits).
 
-TPU formulation: for each segment, a fixed (BANDS x BAND_W x SAMPLES) grid
-of points in line-aligned coordinates is bilinearly gathered from the
-Sobel gradient images; gradients are rotated into the line frame; each
-band contributes mean/std statistics of the 4 half-wave components
-(positive/negative parallel and normal gradients — the classic LBD
-features); the float feature vector is binarized by a fixed random-pair
+TPU formulation: Q patches of (P x P) pixels are extracted at evenly
+spaced centers along each segment with one-hot matmuls (ops/patches.py),
+on a side-by-side stack of the Sobel gradient images so one extraction
+pass serves both gx and gy.  Inside each patch a line-aligned
+(BANDS*BAND_W across) x (S along) rotated grid is sampled via one-hot
+contractions; gradients are rotated into the line frame; each band
+contributes mean/std of the 4 half-wave components (positive/negative
+parallel and normal gradients — the classic LBD features) pooled over all
+patches; the float feature vector is binarized by a fixed random-pair
 comparison pattern into 256 bits, matching the binary-matcher interface.
 """
 
@@ -21,11 +24,16 @@ import jax
 import jax.numpy as jnp
 
 from .descriptors import pack_bits
-from .image import bilinear_sample, blur, sobel
+from .image import blur, sobel
+from .patches import (apply_patch_onehots, apply_sample_onehots,
+                      make_patch_onehots, make_sample_onehots)
 
-BANDS = 9          # classic LBD: m = 9 bands
-BAND_W = 7         # band width in px
-SAMPLES = 32       # samples along the line per band row
+BANDS = 9            # classic LBD: m = 9 bands
+BAND_W = 5           # band width in px (45 across fits the patch radius)
+Q_PATCHES = 8        # patches along the segment
+S_ALONG = 8          # along-line samples per patch
+PATCH = 48
+CENTER = 23.0
 FEAT_DIM = BANDS * 8  # mean+std of 4 half-wave components per band
 
 
@@ -46,41 +54,58 @@ def describe(img: jax.Array, sp: jax.Array, ep: jax.Array, valid: jax.Array):
     """(K, 8) uint32 packed LBD descriptors for segments (sp, ep)."""
     g = blur(img, 1.4)
     gx, gy = sobel(g)
+    H, W = gx.shape
+    K = sp.shape[0]
 
     d = ep - sp
     length = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
-    dl = d / length                                   # line direction
+    dl = d / length                                     # line direction
     dn = jnp.stack([-dl[..., 1], dl[..., 0]], axis=-1)  # normal
 
-    # sample grid: along in [0, 1] * length, across centered on the line
-    t_along = jnp.linspace(0.05, 0.95, SAMPLES)
+    # patch centers along the segment
+    tq = (jnp.arange(Q_PATCHES, dtype=sp.dtype) + 0.5) / Q_PATCHES
+    centers = sp[:, None, :] + tq[None, :, None] * d[:, None, :]  # (K, Q, 2)
+
+    # one pair of selection matrices serves BOTH gradient images — the
+    # one-hots are built once, each extraction is one big MXU matmul
+    c2 = centers.reshape(K * Q_PATCHES, 2)
+    OY, OX = make_patch_onehots(c2, PATCH, H, W)
+    px = apply_patch_onehots(gx, OY, OX)                # (KQ, P, P)
+    py = apply_patch_onehots(gy, OY, OX)
+
+    # line-aligned sample grid inside each patch
     half = (BANDS * BAND_W) / 2.0
-    t_across = (jnp.arange(BANDS * BAND_W) + 0.5) - half  # px offsets
+    a_off = (jnp.arange(BANDS * BAND_W, dtype=sp.dtype) + 0.5) - half
+    seg_span = jnp.minimum(length[:, 0] / Q_PATCHES, 2 * (CENTER - half / 2))
+    s_off = ((jnp.arange(S_ALONG, dtype=sp.dtype) + 0.5) / S_ALONG - 0.5)
+    # (K, A, S) offsets -> in-patch coords via line frame
+    s_px = s_off[None, None, :] * seg_span[:, None, None]
+    u = (CENTER + s_px * dl[:, None, None, 0]
+         + a_off[None, :, None] * dn[:, None, None, 0])
+    v = (CENTER + s_px * dl[:, None, None, 1]
+         + a_off[None, :, None] * dn[:, None, None, 1])
+    A = BANDS * BAND_W
+    uv = jnp.stack([u, v], -1).reshape(K, A * S_ALONG, 2)
+    uv_q = jnp.broadcast_to(uv[:, None], (K, Q_PATCHES, A * S_ALONG, 2)
+                            ).reshape(K * Q_PATCHES, A * S_ALONG, 2)
+    OV, OU = make_sample_onehots(uv_q, PATCH)
+    sx = apply_sample_onehots(px, OV, OU).reshape(K, Q_PATCHES, A, S_ALONG)
+    sy = apply_sample_onehots(py, OV, OU).reshape(K, Q_PATCHES, A, S_ALONG)
 
-    # coords: (K, BANDS*BAND_W, SAMPLES, 2)
-    along = sp[:, None, None, :] + t_along[None, None, :, None] * d[:, None, None, :]
-    coords = along + t_across[None, :, None, None] * dn[:, None, None, :]
+    g_par = (sx * dl[:, None, None, None, 0]
+             + sy * dl[:, None, None, None, 1])
+    g_nrm = (sx * dn[:, None, None, None, 0]
+             + sy * dn[:, None, None, None, 1])
 
-    # nearest-neighbor gradient sampling (one gather per image instead of
-    # four bilinear taps; band statistics are robust to half-pixel jitter)
-    H, W = gx.shape
-    xi = jnp.clip(jnp.round(coords[..., 0]), 0, W - 1).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(coords[..., 1]), 0, H - 1).astype(jnp.int32)
-    sx = gx[yi, xi]   # (K, B*W, S)
-    sy = gy[yi, xi]
-    g_par = sx * dl[:, None, None, 0] + sy * dl[:, None, None, 1]
-    g_nrm = sx * dn[:, None, None, 0] + sy * dn[:, None, None, 1]
-
-    # half-wave components
+    # half-wave components, pooled per band over (BAND_W, S, Q)
     feats = jnp.stack([
         jnp.maximum(g_par, 0.0), jnp.maximum(-g_par, 0.0),
         jnp.maximum(g_nrm, 0.0), jnp.maximum(-g_nrm, 0.0),
-    ], axis=-1)  # (K, B*W, S, 4)
-
-    K = sp.shape[0]
-    feats = feats.reshape(K, BANDS, BAND_W * SAMPLES, 4)
-    mean = jnp.mean(feats, axis=2)                       # (K, BANDS, 4)
-    std = jnp.std(feats, axis=2)                         # (K, BANDS, 4)
+    ], axis=-1)                                         # (K, Q, A, S, 4)
+    feats = feats.transpose(0, 2, 1, 3, 4).reshape(
+        K, BANDS, BAND_W * Q_PATCHES * S_ALONG, 4)
+    mean = jnp.mean(feats, axis=2)                      # (K, BANDS, 4)
+    std = jnp.std(feats, axis=2)                        # (K, BANDS, 4)
     f = jnp.concatenate([mean, std], axis=-1).reshape(K, FEAT_DIM)
     # normalize (affine-light invariance)
     f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-9)

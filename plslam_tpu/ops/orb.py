@@ -1,15 +1,18 @@
-"""Oriented BRIEF (ORB-style) descriptors, batched.
+"""Oriented BRIEF (ORB-style) descriptors, batched, gather-free.
 
 Replaces OpenCV ORB::detectAndCompute's describe stage
-(stereoFrame.cpp:113-116).  Design choices for TPU:
+(stereoFrame.cpp:113-116).  TPU-native design: every image access is
+matrix math (see ops/patches.py) —
 
-- orientation by intensity centroid, computed as two dense 31x31
-  convolutions (dx- and dy-weighted disc kernels) over the blurred image —
-  one MXU-friendly pass — then sampled at the keypoints;
-- steered BRIEF: a fixed 256-pair sampling pattern (deterministic seeded
-  Gaussian, as in the original BRIEF construction — descriptors only need
-  to be internally consistent, not OpenCV bit-compatible), rotated by the
-  keypoint angle and bilinearly gathered in one batch;
+- a (K, 48, 48) patch per keypoint is extracted with one-hot matmuls
+  (one large MXU matmul + one batched matmul), replacing both the dense
+  31x31 orientation convolutions and the scattered descriptor gather;
+- orientation by intensity centroid is two constant-mask reductions over
+  the patch (disc radius 15);
+- steered BRIEF: a fixed 256-pair pattern (deterministic seeded Gaussian
+  — descriptors must be internally consistent, not OpenCV bit-compatible)
+  rotated by the keypoint angle and sampled inside the patch with two
+  one-hot contractions;
 - output packed uint32[8] for the popcount-matmul matcher.
 """
 
@@ -21,16 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from .descriptors import pack_bits
-from .image import bilinear_sample, blur
+from .image import blur
+from .patches import extract_patches, sample_in_patches
 
 PATCH_R = 15          # Config::orbPatchSize=31 -> radius 15
 N_PAIRS = 256
-
-
-def _disc_offsets(radius: int) -> np.ndarray:
-    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
-    m = xs**2 + ys**2 <= radius**2
-    return np.stack([xs[m], ys[m]], axis=-1)
+PATCH = 48            # patch side: covers rotated pattern (15*sqrt(2)~21.2)
+CENTER = 23.0         # patch[r, c] = img[round(y)-23+r, round(x)-23+c]
 
 
 def _brief_pattern(seed: int = 1234) -> np.ndarray:
@@ -42,34 +42,17 @@ def _brief_pattern(seed: int = 1234) -> np.ndarray:
     return np.clip(pat, -PATCH_R, PATCH_R)
 
 
-_DISC = _disc_offsets(PATCH_R)
+def _centroid_kernels() -> tuple[np.ndarray, np.ndarray]:
+    """(PATCH, PATCH) dx- and dy-weighted disc masks centered at CENTER."""
+    rr, cc = np.mgrid[0:PATCH, 0:PATCH]
+    dx = cc - CENTER
+    dy = rr - CENTER
+    disc = (dx**2 + dy**2 <= PATCH_R**2).astype(np.float32)
+    return (dx * disc).astype(np.float32), (dy * disc).astype(np.float32)
+
+
 _PATTERN = _brief_pattern()
-
-
-def orientation_maps(img: jax.Array):
-    """Dense (m10, m01) intensity-centroid maps via disc convolutions."""
-    r = PATCH_R
-    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
-    m = (xs**2 + ys**2 <= r**2).astype(np.float32)
-    kx = jnp.asarray(xs * m, img.dtype)
-    ky = jnp.asarray(ys * m, img.dtype)
-    p = jnp.pad(img, r, mode="edge")
-
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            p[None, None], k[None, None],
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-
-    return conv(kx), conv(ky)
-
-
-def keypoint_angles(img: jax.Array, xy: jax.Array):
-    """Orientation angle per keypoint from the centroid maps."""
-    m10, m01 = orientation_maps(img)
-    a10 = bilinear_sample(m10, xy)
-    a01 = bilinear_sample(m01, xy)
-    return jnp.arctan2(a01, a10)
+_KX, _KY = _centroid_kernels()
 
 
 def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
@@ -79,20 +62,32 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
     img: full-resolution grayscale (float); xy: (K, 2) keypoint coords.
     """
     smoothed = blur(img, blur_sigma)
-    theta = keypoint_angles(smoothed, xy)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # rotation applied to the fixed pattern: (K, 256, 2, 2)
-    pat = jnp.asarray(_PATTERN, img.dtype)  # (256, 2, 2)
-    px, py = pat[..., 0], pat[..., 1]       # (256, 2)
+    patches = extract_patches(smoothed, xy, PATCH)    # (K, 48, 48) f32
+
+    # orientation by intensity centroid over the patch disc
+    kx = jnp.asarray(_KX, patches.dtype)
+    ky = jnp.asarray(_KY, patches.dtype)
+    m10 = jnp.einsum("krc,rc->k", patches, kx)
+    m01 = jnp.einsum("krc,rc->k", patches, ky)
+    theta = jnp.arctan2(m01, m10)
+    norm = jnp.sqrt(m10 * m10 + m01 * m01)
+    safe = norm > 1e-6
+    c = jnp.where(safe, m10 / jnp.where(safe, norm, 1.0), 1.0)
+    s = jnp.where(safe, m01 / jnp.where(safe, norm, 1.0), 0.0)
+
+    # rotated pattern -> in-patch coords (nearest sampling, like OpenCV's
+    # integer rounding); the sub-pixel keypoint offset shifts the center
+    pat = jnp.asarray(_PATTERN, smoothed.dtype)       # (256, 2, 2)
+    px, py = pat[..., 0], pat[..., 1]                 # (256, 2)
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
-    # nearest-neighbor sampling on the blurred image (OpenCV ORB rounds to
-    # integer positions too); one gather instead of four bilinear taps —
-    # the descriptor gather is the VO hot spot on TPU.
-    H, W = smoothed.shape
-    xi = jnp.clip(jnp.round(xy[:, None, None, 0] + rx), 0, W - 1).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(xy[:, None, None, 1] + ry), 0, H - 1).astype(jnp.int32)
-    vals = smoothed[yi, xi]  # (K, 256, 2)
+    frac = xy - jnp.round(xy)                         # (K, 2) in [-0.5, 0.5]
+    u = CENTER + frac[:, 0:1, None] + rx              # (K, 256, 2)
+    v = CENTER + frac[:, 1:2, None] + ry
+    K = xy.shape[0]
+    uv = jnp.stack([u, v], axis=-1).reshape(K, 2 * N_PAIRS, 2)
+    vals = sample_in_patches(patches, uv).reshape(K, N_PAIRS, 2)
+
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (K, 256)
     desc = pack_bits(bits)
     desc = jnp.where(valid[:, None], desc, 0)
