@@ -12,6 +12,8 @@ same coupling here.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -75,6 +77,53 @@ class PLSLAM:
         self._frame_idx = 0
         self._initialized = False
 
+        # multithread mode (SlamConfig::multithreadSLAM, default true):
+        # mapping runs on a worker thread fed by a KF queue, overlapping
+        # the back-end's BA with the front-end's next-frame dispatches —
+        # the analog of the reference's handler + local-mapping threads
+        # (mapHandler.cpp:1143-1248).  JAX dispatch is thread-safe; the
+        # mapper's state is touched only by the worker, and the tracker
+        # never reads the map, so the only shared structure is the queue.
+        self._kf_queue: queue.Queue | None = None
+        self._map_thread: threading.Thread | None = None
+        self._map_errors: list[BaseException] = []
+        if self.config.multithread_slam:
+            self._kf_queue = queue.Queue()
+            self._map_thread = threading.Thread(
+                target=self._mapping_worker, name="plslam-mapper",
+                daemon=True)
+            self._map_thread.start()
+
+    # -- mapping thread ----------------------------------------------------
+
+    def _mapping_worker(self):
+        """Pop (pose, features) jobs until the None sentinel
+        (mapHandler.cpp:1229-1248 finishSLAM semantics)."""
+        while True:
+            job = self._kf_queue.get()
+            try:
+                if job is None:
+                    return
+                pose, feats = job
+                self._insert_keyframe(pose, feats)
+            except BaseException as e:  # surfaced at finish()
+                self._map_errors.append(e)
+            finally:
+                self._kf_queue.task_done()
+
+    def _insert_keyframe(self, pose, feats):
+        self.mapper.add_keyframe(pose, feats)
+        if self.loop_closer is not None:
+            report = self.loop_closer.on_new_keyframe()
+            if report:
+                self.loop_reports.append(report)
+
+    def wait_until_idle(self):
+        """Block until the mapping queue has drained (for tests and for
+        callers that read the map mid-run)."""
+        if self._kf_queue is not None:
+            self._kf_queue.join()
+
     # -- per-frame ---------------------------------------------------------
 
     def process(self, img_l, img_r, timestamp: float = 0.0):
@@ -92,13 +141,13 @@ class PLSLAM:
         is_kf = bool(res.is_kf)
         if is_kf:
             pose = np.asarray(res.T_f_w, np.float64)
-            self.mapper.add_keyframe(pose, self.vo.current_features)
+            feats = self.vo.current_features
             self.vo.mark_keyframe()
             self.kf_timestamps.append(timestamp)
-            if self.loop_closer is not None:
-                report = self.loop_closer.on_new_keyframe()
-                if report:
-                    self.loop_reports.append(report)
+            if self._kf_queue is not None:
+                self._kf_queue.put((pose, feats))
+            else:
+                self._insert_keyframe(pose, feats)
         self.logs.append(FrameLog(
             frame=self._frame_idx, t_total=time.time() - t0,
             n_inliers=int(res.n_inliers), err=float(res.err),
@@ -110,7 +159,15 @@ class PLSLAM:
     # -- end of run --------------------------------------------------------
 
     def finish(self, run_gba: bool = True):
-        """finishSLAM + globalBundleAdjustment (app:169-176)."""
+        """finishSLAM + globalBundleAdjustment (app:169-176): drain and
+        join the mapping thread, then run the final global solve."""
+        if self._map_thread is not None:
+            self._kf_queue.put(None)
+            self._map_thread.join()
+            self._map_thread = None
+            self._kf_queue = None
+            if self._map_errors:
+                raise self._map_errors[0]
         if run_gba and len(self.mapper.map.keyframes) >= 3:
             self.global_bundle_adjustment()
         return self.keyframe_trajectory()

@@ -1,0 +1,77 @@
+"""Multithread SLAM mode: mapping on a worker thread fed by a KF queue
+(reference SlamConfig::multithreadSLAM, mapHandler.cpp:1143-1248), and the
+offline visualization artifacts (slamScene analog)."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam_tpu.backend.mapping import MapConfig
+from plslam_tpu.config import PLSLAMConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+from plslam_tpu.io.trajectory import ate_rmse
+from plslam_tpu.pipeline import PLSLAM
+
+N_FRAMES = 8
+
+
+def _run(multithread: bool):
+    scene = SyntheticScene(seed=7)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy, scene.b,
+                              width=scene.width, height=scene.height,
+                              dtype=jnp.float32)
+    cfg = PLSLAMConfig(orb_nfeatures=512, lsd_nfeatures=128, orb_fast_th=15,
+                       min_entropy_ratio=0.99,
+                       multithread_slam=multithread)
+    slam = PLSLAM(cam, cfg, MapConfig(local_ba_kf=8, ba_points=2048,
+                                      ba_lines=256, ba_pobs=8192,
+                                      ba_lobs=2048))
+    poses_gt = circular_trajectory(N_FRAMES, step_t=0.12, step_r=0.015)
+    for i, T in enumerate(poses_gt):
+        il, ir = scene.render_stereo(T)
+        slam.process(jnp.asarray(il), jnp.asarray(ir), timestamp=0.05 * i)
+    traj = slam.finish(run_gba=False)
+    return slam, poses_gt, traj
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    return _run(False), _run(True)
+
+
+def test_multithread_matches_singlethread(both_runs):
+    (s0, gt, t0), (s1, _, t1) = both_runs
+    # same KF set and identical mapping results: the worker consumes the
+    # same (pose, features) jobs in order
+    assert len(s0.mapper.map.keyframes) == len(s1.mapper.map.keyframes)
+    assert len(t0) == len(t1)
+    np.testing.assert_allclose(np.stack(t0), np.stack(t1), atol=1e-5)
+
+
+def test_multithread_trajectory_accurate(both_runs):
+    _, (s1, gt, t1) = both_runs
+    kf_pos = np.stack([T[:3, 3] for T in t1])
+    # align lengths: use the first |t1| gt poses corresponding to KFs
+    # (aggressive KF creation: nearly every frame is a KF)
+    gt_pos = np.stack([T[:3, 3] for T in gt])[: len(kf_pos)]
+    assert ate_rmse(kf_pos, gt_pos, align=True) < 0.25
+
+
+def test_multithread_errors_surface(both_runs):
+    _, (s1, _, _) = both_runs
+    assert s1._map_errors == []
+    assert s1._map_thread is None  # joined at finish
+
+
+def test_viz_artifacts(both_runs):
+    from plslam_tpu import viz
+
+    _, (s1, gt, _) = both_runs
+    with tempfile.TemporaryDirectory() as d:
+        files = viz.render_run(s1, d, gt=np.stack(gt))
+        for f in files:
+            assert os.path.exists(f) and os.path.getsize(f) > 1000, f
