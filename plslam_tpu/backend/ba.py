@@ -72,6 +72,14 @@ class BAProblem(NamedTuple):
     l_eobs: jax.Array      # (Nl, 2)
     l_sigma2: jax.Array    # (Nl,)
     l_valid: jax.Array     # (Nl,) bool
+    # endpoint-line mode (levMarquardtOptimizationLBA/GBA :2334/:3128):
+    # a 3D line is its two endpoints, each a regular 3-DoF entry of the
+    # ``points`` table whose observation is the signed distance of the
+    # projected endpoint to the observed image line.  When ``p_lo`` is
+    # given, ``p_is_line`` selects per point-obs between the 2-vec
+    # reprojection residual and the 1-vec point-to-line residual.
+    p_lo: jax.Array | None = None       # (Np, 3) observed line eq (a,b,c)
+    p_is_line: jax.Array | None = None  # (Np,) bool
 
 
 class BAConfig(NamedTuple):
@@ -115,6 +123,26 @@ def point_obs_residuals(prob: BAProblem, cam: StereoCamera):
     J_pose = jnp.einsum("nij,njk->nik", Jproj, dPc_ddelta)      # (Np, 2, 6)
     R = T[..., :3, :3]
     J_pt = jnp.einsum("nij,njk->nik", Jproj, R)                 # (Np, 2, 3)
+
+    if prob.p_lo is not None:
+        # endpoint-line observations: e = lo . [proj; 1] in row 0, row 1
+        # zeroed; J rows chain through the same projection Jacobians
+        lo = prob.p_lo
+        e_line = (lo[..., 0] * proj[..., 0] + lo[..., 1] * proj[..., 1]
+                  + lo[..., 2])
+        lxy = lo[..., :2]
+        Jl_pose = jnp.einsum("ni,nik->nk", lxy, J_pose)   # (Np, 6)
+        Jl_pt = jnp.einsum("ni,nik->nk", lxy, J_pt)       # (Np, 3)
+        zero = jnp.zeros_like(e_line)
+        is_l = prob.p_is_line
+        e = jnp.where(is_l[:, None],
+                      jnp.stack([e_line, zero], axis=-1), e)
+        J_pose = jnp.where(is_l[:, None, None],
+                           jnp.stack([Jl_pose, jnp.zeros_like(Jl_pose)],
+                                     axis=-2), J_pose)
+        J_pt = jnp.where(is_l[:, None, None],
+                         jnp.stack([Jl_pt, jnp.zeros_like(Jl_pt)],
+                                   axis=-2), J_pt)
     return e, J_pose, J_pt
 
 
@@ -235,8 +263,14 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
     """Per-landmark damped inverse (H + lam*diag(H))^-1; identity for
     invalid/unobserved landmarks (their delta is zeroed anyway)."""
     diag = jnp.eye(dim, dtype=Hblocks.dtype)
-    damped = Hblocks + lam * Hblocks * diag + 1e-12 * diag
-    observed = jnp.einsum("nii->n", Hblocks) > 1e-12
+    tr = jnp.einsum("nii->n", Hblocks)
+    # trace-relative Tikhonov: endpoint-line blocks are rank-deficient
+    # (point-to-line residuals leave the along-line direction flat), and an
+    # absolute 1e-12 floor is nothing against trace ~1e4 — the landmark
+    # would wander along its null space
+    damped = (Hblocks + lam * Hblocks * diag
+              + (1e-6 * tr + 1e-12)[:, None, None] * diag)
+    observed = tr > 1e-12
     use = valid & observed
     safe = jnp.where(use[:, None, None], damped, diag)
     inv = linalg.inv3x3(safe) if dim == 3 else linalg.inv4x4(safe)

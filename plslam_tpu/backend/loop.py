@@ -252,6 +252,10 @@ class LoopCloser:
             mp.ls_w = np.asarray(pgo_mod.correct_plucker_landmarks(
                 jnp.asarray(T_old), jnp.asarray(T_new),
                 jnp.asarray(owner_ls, jnp.int32), jnp.asarray(mp.ls_w)))
+            # endpoints move rigidly with their owner KF too
+            for i, own in enumerate(owner_ls):
+                D = T_new[own] @ np.linalg.inv(T_old[own])
+                mp.ls_epw[i] = (D[:3, :3] @ mp.ls_epw[i].T).T + D[:3, 3]
         for i, kf in enumerate(mp.keyframes):
             kf.T_w_k = T_new[i]
 

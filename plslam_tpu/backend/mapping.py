@@ -103,8 +103,11 @@ class SlamMap:
         self.pt_last_kf = np.zeros(0, np.int64)
         # observations: lists of (lm, kf, feat_idx)
         self.pt_obs: list[list[tuple]] = []
-        # line landmarks (world Pluecker, normalized ||d||=1)
+        # line landmarks (world Pluecker, normalized ||d||=1) + world
+        # endpoints (the endpoint-mode state, line3D of the reference's
+        # non-Pluecker branch :591-692; kept in both modes)
         self.ls_w = np.zeros((0, 6))
+        self.ls_epw = np.zeros((0, 2, 3))
         self.ls_desc = np.zeros((0, 8), np.uint32)
         self.ls_valid = np.zeros(0, bool)
         self.ls_first_kf = np.zeros(0, np.int64)
@@ -122,8 +125,10 @@ class SlamMap:
         self.pt_obs.append([(kf_id, feat_idx)])
         return len(self.pt_valid) - 1
 
-    def new_line(self, Lw, desc, kf_id, feat_idx) -> int:
+    def new_line(self, Lw, desc, kf_id, feat_idx, ep_w=None) -> int:
         self.ls_w = np.vstack([self.ls_w, Lw[None]])
+        ep = np.zeros((1, 2, 3)) if ep_w is None else np.asarray(ep_w)[None]
+        self.ls_epw = np.concatenate([self.ls_epw, ep])
         self.ls_desc = np.vstack([self.ls_desc, desc[None]])
         self.ls_valid = np.append(self.ls_valid, True)
         self.ls_first_kf = np.append(self.ls_first_kf, kf_id)
@@ -289,7 +294,11 @@ class MapHandler:
                 Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
                 if not self._line_chi2_ok(Lw, kf, i2):
                     continue
-                lm = self.map.new_line(Lw, prev.ls_desc[i1], prev.id, i1)
+                R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
+                ep_w = np.stack([R @ prev.ls_sP[i1] + t,
+                                 R @ prev.ls_eP[i1] + t])
+                lm = self.map.new_line(Lw, prev.ls_desc[i1], prev.id, i1,
+                                       ep_w=ep_w)
                 prev.ls_lm[i1] = lm
             self.map.add_line_obs(lm, kf.id, i2)
             kf.ls_lm[i2] = lm
@@ -383,7 +392,11 @@ class MapHandler:
                     Lw = np.asarray(transform_plucker(
                         jnp.asarray(kf.T_w_k), jnp.asarray(kf.ls_NDc[i])))
                     Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
-                    kf.ls_lm[i] = self.map.new_line(Lw, kf.ls_desc[i], kf.id, i)
+                    R, t = kf.T_w_k[:3, :3], kf.T_w_k[:3, 3]
+                    ep_w = np.stack([R @ kf.ls_sP[i] + t,
+                                     R @ kf.ls_eP[i] + t])
+                    kf.ls_lm[i] = self.map.new_line(Lw, kf.ls_desc[i],
+                                                    kf.id, i, ep_w=ep_w)
 
     def _bump_covis(self, kf: KeyframeRecord, shared: int):
         if len(self.map.keyframes) >= 2 and shared:
@@ -437,6 +450,11 @@ class MapHandler:
                   and sum(1 for k, _ in mp.ls_obs[i] if k in slot_of) >= 2]
         pt_ids = pt_ids[: cfg.ba_points]
         ls_ids = ls_ids[: cfg.ba_lines]
+        if not cfg.plucker_lines:
+            # endpoint mode: each line takes two 3-DoF slots of the point
+            # table (levMarquardtOptimizationLBA :1429-1445 layout)
+            room = (cfg.ba_points - len(pt_ids)) // 2
+            ls_ids = ls_ids[: max(room, 0)]
         pslot = {p: s for s, p in enumerate(pt_ids)}
         lslot = {p: s for s, p in enumerate(ls_ids)}
 
@@ -459,12 +477,21 @@ class MapHandler:
         lines_orth = np.zeros((cfg.ba_lines, 4), dtype)
         lines_scale = np.ones(cfg.ba_lines, dtype)
         line_valid = np.zeros(cfg.ba_lines, bool)
-        for p, s in lslot.items():
-            Lw = mp.ls_w[p]
-            scale = np.linalg.norm(Lw)
-            lines_scale[s] = scale
-            lines_orth[s] = np.asarray(plucker_to_orth(jnp.asarray(Lw / scale)))
-            line_valid[s] = True
+        ep_base = len(pt_ids)  # first endpoint slot in the point table
+        if cfg.plucker_lines:
+            for p, s in lslot.items():
+                Lw = mp.ls_w[p]
+                scale = np.linalg.norm(Lw)
+                lines_scale[s] = scale
+                lines_orth[s] = np.asarray(
+                    plucker_to_orth(jnp.asarray(Lw / scale)))
+                line_valid[s] = True
+        else:
+            for p, s in lslot.items():
+                points[ep_base + 2 * s] = mp.ls_epw[p, 0]
+                points[ep_base + 2 * s + 1] = mp.ls_epw[p, 1]
+                point_valid[ep_base + 2 * s] = True
+                point_valid[ep_base + 2 * s + 1] = True
 
         p_cam = np.zeros(cfg.ba_pobs, np.int32)
         p_lm = np.zeros(cfg.ba_pobs, np.int32)
@@ -494,19 +521,47 @@ class MapHandler:
         l_val = np.zeros(cfg.ba_lobs, bool)
         nl = 0
         obs_refs_l = []
-        for p, s in lslot.items():
-            for kfid, fi in mp.ls_obs[p]:
-                if kfid not in slot_of or nl >= cfg.ba_lobs:
-                    continue
-                rec = mp.keyframes[kfid]
-                l_cam[nl] = slot_of[kfid]
-                l_lm[nl] = s
-                l_sobs[nl] = rec.ls_sp[fi]
-                l_eobs[nl] = rec.ls_ep[fi]
-                l_sig[nl] = rec.ls_sigma2[fi]
-                l_val[nl] = True
-                obs_refs_l.append((p, kfid, fi))
-                nl += 1
+        p_lo = None
+        p_is_line = None
+        if cfg.plucker_lines:
+            for p, s in lslot.items():
+                for kfid, fi in mp.ls_obs[p]:
+                    if kfid not in slot_of or nl >= cfg.ba_lobs:
+                        continue
+                    rec = mp.keyframes[kfid]
+                    l_cam[nl] = slot_of[kfid]
+                    l_lm[nl] = s
+                    l_sobs[nl] = rec.ls_sp[fi]
+                    l_eobs[nl] = rec.ls_ep[fi]
+                    l_sig[nl] = rec.ls_sigma2[fi]
+                    l_val[nl] = True
+                    obs_refs_l.append((p, kfid, fi))
+                    nl += 1
+        else:
+            # endpoint mode: each line obs yields two rows of the point
+            # table — projected endpoint to observed image line
+            p_lo = np.zeros((cfg.ba_pobs, 3), dtype)
+            p_is_line = np.zeros(cfg.ba_pobs, bool)
+            for p, s in lslot.items():
+                for kfid, fi in mp.ls_obs[p]:
+                    if kfid not in slot_of or n + 1 >= cfg.ba_pobs:
+                        continue
+                    rec = mp.keyframes[kfid]
+                    sp, ep = rec.ls_sp[fi], rec.ls_ep[fi]
+                    lo = np.cross(np.append(sp, 1.0), np.append(ep, 1.0))
+                    nrm = np.hypot(lo[0], lo[1])
+                    if nrm < 1e-9:
+                        continue
+                    lo = lo / nrm
+                    for eslot in (ep_base + 2 * s, ep_base + 2 * s + 1):
+                        p_cam[n] = slot_of[kfid]
+                        p_lm[n] = eslot
+                        p_lo[n] = lo
+                        p_is_line[n] = True
+                        p_sig[n] = rec.ls_sigma2[fi]
+                        p_val[n] = True
+                        n += 1
+                    obs_refs_l.append((p, kfid, fi, n - 2))
 
         prob = ba_mod.BAProblem(
             T_c_w=jnp.asarray(T), pose_fixed=jnp.asarray(pose_fixed),
@@ -521,9 +576,12 @@ class MapHandler:
             l_cam=jnp.asarray(l_cam), l_lm=jnp.asarray(l_lm),
             l_sobs=jnp.asarray(l_sobs), l_eobs=jnp.asarray(l_eobs),
             l_sigma2=jnp.asarray(l_sig), l_valid=jnp.asarray(l_val),
+            p_lo=None if p_lo is None else jnp.asarray(p_lo),
+            p_is_line=None if p_is_line is None else jnp.asarray(p_is_line),
         )
         meta = dict(local_ids=local_ids, pt_ids=pt_ids, ls_ids=ls_ids,
-                    obs_refs_p=obs_refs_p, obs_refs_l=obs_refs_l)
+                    obs_refs_p=obs_refs_p, obs_refs_l=obs_refs_l,
+                    plucker=cfg.plucker_lines, ep_base=ep_base)
         return prob, meta
 
     def local_bundle_adjustment(self):
@@ -545,11 +603,27 @@ class MapHandler:
         points = np.asarray(res.problem.points)
         for s, p in enumerate(meta["pt_ids"]):
             mp.pt_w[p] = points[s]
-        orth = np.asarray(res.problem.lines_orth)
-        scale = np.asarray(res.problem.lines_scale)
-        for s, p in enumerate(meta["ls_ids"]):
-            Lw = np.asarray(orth_to_plucker(jnp.asarray(orth[s]))) * scale[s]
-            mp.ls_w[p] = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+        if meta.get("plucker", True):
+            orth = np.asarray(res.problem.lines_orth)
+            scale = np.asarray(res.problem.lines_scale)
+            for s, p in enumerate(meta["ls_ids"]):
+                Lw = np.asarray(orth_to_plucker(jnp.asarray(orth[s]))) * scale[s]
+                mp.ls_w[p] = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+        else:
+            # endpoint mode: optimized endpoints come back through the
+            # point table; refresh the Pluecker form (n = sP x eP,
+            # d = eP - sP, renormalized ||d||=1) for projection-based
+            # matching
+            ep_base = meta["ep_base"]
+            for s, p in enumerate(meta["ls_ids"]):
+                sP = np.asarray(points[ep_base + 2 * s], np.float64)
+                eP = np.asarray(points[ep_base + 2 * s + 1], np.float64)
+                mp.ls_epw[p] = np.stack([sP, eP])
+                d = eP - sP
+                nd = np.linalg.norm(d)
+                if np.isfinite(nd) and nd > 1e-9:
+                    mp.ls_w[p] = np.concatenate([np.cross(sP, eP) / nd,
+                                                 d / nd])
         # prune gated-out observations (:6154-6293)
         p_active = np.asarray(res.p_active)
         for n, (p, kfid, fi) in enumerate(meta["obs_refs_p"]):
@@ -560,8 +634,14 @@ class MapHandler:
                 except ValueError:
                     pass
         l_active = np.asarray(res.l_active)
-        for n, (p, kfid, fi) in enumerate(meta["obs_refs_l"]):
-            if not l_active[n]:
+        for n, ref in enumerate(meta["obs_refs_l"]):
+            if meta.get("plucker", True):
+                p, kfid, fi = ref
+                bad = not l_active[n]
+            else:
+                p, kfid, fi, row = ref
+                bad = not (p_active[row] and p_active[row + 1])
+            if bad:
                 try:
                     mp.ls_obs[p].remove((kfid, fi))
                     mp.keyframes[kfid].ls_lm[fi] = -1

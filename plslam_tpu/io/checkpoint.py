@@ -26,7 +26,8 @@ def save_map(path: str, mapper: MapHandler) -> None:
         "covis": mp.covis,
         "pt_w": mp.pt_w, "pt_desc": mp.pt_desc, "pt_valid": mp.pt_valid,
         "pt_first_kf": mp.pt_first_kf, "pt_last_kf": mp.pt_last_kf,
-        "ls_w": mp.ls_w, "ls_desc": mp.ls_desc, "ls_valid": mp.ls_valid,
+        "ls_w": mp.ls_w, "ls_epw": mp.ls_epw,
+        "ls_desc": mp.ls_desc, "ls_valid": mp.ls_valid,
         "ls_first_kf": mp.ls_first_kf, "ls_last_kf": mp.ls_last_kf,
         "n_kf": np.asarray(len(mp.keyframes)),
     }
@@ -56,6 +57,8 @@ def load_map(path: str, mapper: MapHandler) -> MapHandler:
     mp.pt_first_kf = z["pt_first_kf"]
     mp.pt_last_kf = z["pt_last_kf"]
     mp.ls_w = z["ls_w"]
+    mp.ls_epw = (z["ls_epw"] if "ls_epw" in z.files
+                 else np.zeros((len(mp.ls_w), 2, 3)))
     mp.ls_desc = z["ls_desc"]
     mp.ls_valid = z["ls_valid"]
     mp.ls_first_kf = z["ls_first_kf"]
