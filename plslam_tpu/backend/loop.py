@@ -42,6 +42,7 @@ class LoopConfig:
     min_pt_matches: int = 12
     vocab_k: int = 8
     vocab_depth: int = 3
+    vocabulary_file: str = ""   # pre-trained DBoW2 yml(.gz); "" = online
     pgo_iters: int = 15
     fuse_dist: float = 0.1      # max_point_point_error
 
@@ -63,17 +64,24 @@ class LoopCloser:
     # -- BoW bookkeeping ---------------------------------------------------
 
     def _ensure_vocab(self):
-        """Train the vocabulary online from accumulated KF descriptors (the
-        reference loads a pre-trained file, mapHandler.cpp:41-44; here the
-        corpus is the map itself)."""
+        """Load a pre-trained DBoW2 vocabulary when configured
+        (mapHandler.cpp:41-44, SlamConfig vocabulary_p), else train online
+        from accumulated KF descriptors (the corpus is the map itself)."""
         if self.voc is not None:
             return True
-        descs = [kf.pt_desc[kf.pt_valid] for kf in self.mapper.map.keyframes]
-        corpus = np.concatenate(descs) if descs else np.zeros((0, 8), np.uint32)
-        if len(corpus) < 500:
-            return False
-        self.voc = vocab_mod.train_vocabulary(
-            corpus, k=self.cfg.vocab_k, depth=self.cfg.vocab_depth, iters=4)
+        if self.cfg.vocabulary_file:
+            self.voc = vocab_mod.load_dbow2_vocabulary(
+                self.cfg.vocabulary_file)
+        else:
+            descs = [kf.pt_desc[kf.pt_valid]
+                     for kf in self.mapper.map.keyframes]
+            corpus = (np.concatenate(descs) if descs
+                      else np.zeros((0, 8), np.uint32))
+            if len(corpus) < 500:
+                return False
+            self.voc = vocab_mod.train_vocabulary(
+                corpus, k=self.cfg.vocab_k, depth=self.cfg.vocab_depth,
+                iters=4)
         voc = self.voc
         self._tf = jax.jit(lambda d, v: vocab_mod.transform(voc, d, v))
         # back-fill vectors for all *previous* KFs (the caller appends the

@@ -56,6 +56,8 @@ class MapConfig:
     nnr: float = 0.9
     use_lines: bool = True
     plucker_lines: bool = True
+    min_pt_matches: int = 10      # windowed->global fallback gate :277-281
+    has_refinement: bool = False  # SlamConfig::hasRefinement :937-977
     local_ba_kf: int = 16         # padded local-KF capacity for the BA
     ba_points: int = 1024         # padded BA landmark capacities
     ba_lines: int = 256
@@ -205,6 +207,7 @@ class MapHandler:
         self.ba_cfg = ba_cfg or ba_mod.BAConfig()
         self.map = SlamMap(cfg)
         self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
+        self._refine_jit = None  # built lazily (has_refinement only)
 
     # -- public API (mapHandler.cpp initialize :50 / addKeyFrame :121) ----
 
@@ -222,6 +225,8 @@ class MapHandler:
         self.map.keyframes.append(kf)
         self.map.expand_graphs()
         self._match_kf2kf(kf)
+        if self.cfg.has_refinement:
+            self._refine_kf_pose(kf)
         self._match_map2kf(kf)
         self._spawn_landmarks(kf)  # leftovers become new landmarks
         if run_ba:
@@ -248,6 +253,14 @@ class MapHandler:
             jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
             jnp.asarray(kf.pt_valid), self.cfg.match_window, self.cfg.nnr)
         idx = np.asarray(m.idx)
+        # windowed -> global fallback when too few matches (:277-281)
+        if (idx >= 0).sum() < self.cfg.min_pt_matches:
+            m = _match_projected(
+                jnp.asarray(prev.pt_desc), jnp.asarray(proj),
+                jnp.asarray(ok_prev), jnp.asarray(kf.pt_desc),
+                jnp.asarray(kf.pt_uv), jnp.asarray(kf.pt_valid),
+                1e9, self.cfg.nnr)
+            idx = np.asarray(m.idx)
         shared = 0
         for i1, i2 in enumerate(idx):
             if i2 < 0:
@@ -307,6 +320,65 @@ class MapHandler:
 
     def _prev_lines_world_in(self, prev, frame):
         return prev.ls_NDc
+
+    def _refine_kf_pose(self, kf: KeyframeRecord):
+        """hasRefinement (:937-977): re-run the StVO robust pose optimizer
+        on the KF pair and overwrite the new KF's pose with the result."""
+        from ..frontend.features import TrackedLines, TrackedPoints
+        from ..frontend.tracker import TrackerConfig, optimize_pose
+
+        prev = self.map.keyframes[-2]
+        if self._refine_jit is None:
+            tcfg = TrackerConfig(plucker_lines=self.cfg.plucker_lines,
+                                 use_lines=self.cfg.use_lines)
+            self._refine_jit = jax.jit(
+                lambda p, l, cam: optimize_pose(p, l, cam, tcfg))
+
+        # correspondences: the landmark links just made by _match_kf2kf
+        # (prev feature i1 and kf feature i2 share kf.pt_lm/ls_lm)
+        n = len(prev.pt_valid)
+        obs = np.zeros((n, 2), np.float32)
+        val = np.zeros(n, bool)
+        lm_to_new = {lm: i2 for i2, lm in enumerate(kf.pt_lm) if lm >= 0}
+        for i1 in range(n):
+            lm = prev.pt_lm[i1]
+            if lm >= 0 and lm in lm_to_new:
+                obs[i1] = kf.pt_uv[lm_to_new[lm]]
+                val[i1] = True
+        pts = TrackedPoints(
+            P=jnp.asarray(prev.pt_P), obs=jnp.asarray(obs),
+            sigma2=jnp.asarray(prev.pt_sigma2),
+            valid=jnp.asarray(val), inlier=jnp.asarray(val))
+
+        nl = len(prev.ls_valid)
+        sobs = np.zeros((nl, 2), np.float32)
+        eobs = np.zeros((nl, 2), np.float32)
+        le = np.zeros((nl, 3), np.float32)
+        lval = np.zeros(nl, bool)
+        lm_to_new_l = {lm: i2 for i2, lm in enumerate(kf.ls_lm) if lm >= 0}
+        for i1 in range(nl):
+            lm = prev.ls_lm[i1]
+            if lm >= 0 and lm in lm_to_new_l:
+                i2 = lm_to_new_l[lm]
+                sp, ep = kf.ls_sp[i2], kf.ls_ep[i2]
+                lo = np.cross(np.append(sp, 1.0), np.append(ep, 1.0))
+                nrm = np.hypot(lo[0], lo[1])
+                if nrm < 1e-9:
+                    continue
+                sobs[i1], eobs[i1], le[i1] = sp, ep, lo / nrm
+                lval[i1] = True
+        ls = TrackedLines(
+            sP=jnp.asarray(prev.ls_sP), eP=jnp.asarray(prev.ls_eP),
+            sp=jnp.asarray(prev.ls_sp), ep=jnp.asarray(prev.ls_ep),
+            NDc=jnp.asarray(prev.ls_NDc), sobs=jnp.asarray(sobs),
+            eobs=jnp.asarray(eobs), le_obs=jnp.asarray(le),
+            sigma2=jnp.asarray(prev.ls_sigma2),
+            valid=jnp.asarray(lval), inlier=jnp.asarray(lval))
+
+        est, _, _ = self._refine_jit(pts, ls, self.cam)
+        if bool(est.good):
+            DT = np.asarray(est.DT, np.float64)  # new-cam <- prev-cam
+            kf.T_w_k = prev.T_w_k @ np.linalg.inv(DT)
 
     def _match_map2kf(self, kf: KeyframeRecord):
         """Track local-map landmarks not yet matched into the new KF

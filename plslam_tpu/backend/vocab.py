@@ -35,6 +35,8 @@ class Vocabulary(NamedTuple):
     levels: tuple[jax.Array, ...]  # each (k^(l+1), 8) uint32
     k: int
     depth: int
+    word_weight: jax.Array | None = None  # (k^depth,) idf weights (DBoW2
+    #                                       TF_IDF); None = uniform tf
 
     @property
     def num_words(self) -> int:
@@ -118,6 +120,9 @@ def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
     w = voc.num_words
     counts = jnp.zeros((w,), desc.dtype if desc.dtype.kind == "f" else jnp.float32)
     counts = counts.at[node].add(jnp.where(valid, 1.0, 0.0))
+    if voc.word_weight is not None:
+        counts = counts * voc.word_weight  # tf-idf (TemplatedVocabulary
+        #                                    transform, TF_IDF weighting)
     total = jnp.sum(counts)
     return counts / jnp.maximum(total, 1e-9)
 
@@ -134,3 +139,132 @@ def score_against_database(v: jax.Array, db: jax.Array, db_valid: jax.Array) -> 
     get -1 (the conf_matrix row of insertKFBowVector)."""
     s = l1_score(v[None, :], db)
     return jnp.where(db_valid, s, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# DBoW2 vocabulary file interchange
+# ---------------------------------------------------------------------------
+#
+# The reference loads pre-trained DBoW2 vocabularies (SlamConfig
+# vocabulary_p / vocabulary_l; TemplatedVocabulary::save writes an OpenCV
+# YAML with k, L, scoringType, weightingType, a nodes list of
+# {nodeId, parentId, weight, descriptor-as-32-bytes} and a words list,
+# TemplatedVocabulary.h:1341-1431).  These functions read/write that
+# format so a user's existing vocabulary files work unchanged.  DBoW2
+# trees may be non-uniform (clusters with < k children end early); shallow
+# leaves are lowered to full depth by chaining duplicate descriptors, and
+# missing child slots are padded with a duplicate sibling placed after the
+# real ones (argmin ties resolve to the real child).
+
+import gzip as _gzip
+import re as _re
+
+
+def _open_vocab(path: str, mode: str):
+    if path.endswith(".gz"):
+        return _gzip.open(path, mode + "t")
+    return open(path, mode)
+
+
+_NODE_RE = _re.compile(
+    r"nodeId:\s*(\d+),\s*parentId:\s*(\d+),\s*weight:"
+    r"\s*([0-9.eE+-]+),\s*descriptor:\s*\"?([0-9 ]+)")
+
+
+def load_dbow2_vocabulary(path: str) -> Vocabulary:
+    """Parse a DBoW2 OpenCV-YAML vocabulary (.yml / .yml.gz) into the
+    fixed-shape level representation used by transform()."""
+    k = depth = None
+    nodes = {}        # id -> (parent, weight, desc_bytes)
+    children = {0: []}
+    with _open_vocab(path, "r") as f:
+        for line in f:
+            mk = _re.match(r"^\s*k:\s*(\d+)\s*$", line)
+            if k is None and mk:
+                k = int(mk.group(1))
+                continue
+            ml = _re.match(r"^\s*L:\s*(\d+)\s*$", line)
+            if depth is None and ml:
+                depth = int(ml.group(1))
+                continue
+            m = _NODE_RE.search(line)
+            if m:
+                nid, pid = int(m.group(1)), int(m.group(2))
+                w = float(m.group(3))
+                dbytes = np.asarray([int(x) for x in m.group(4).split()],
+                                    np.uint8)
+                nodes[nid] = (pid, w, dbytes)
+                children.setdefault(pid, []).append(nid)
+                children.setdefault(nid, [])
+    if k is None or depth is None or not nodes:
+        raise ValueError(f"not a DBoW2 vocabulary file: {path}")
+
+    def packed(dbytes: np.ndarray) -> np.ndarray:
+        bits = np.unpackbits(dbytes, bitorder="little")[:256]
+        return np.asarray(jax.device_get(
+            pack_bits(jnp.asarray(bits[None], jnp.uint8))))[0]
+
+    levels = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(depth)]
+    weights = np.zeros(k ** depth, np.float32)
+
+    # BFS with explicit position assignment; shallow leaves are chained
+    # down ((node, level-position, carried) entries)
+    frontier = [(0, 0)]
+    for l in range(depth):
+        nxt = []
+        for nid, pos in frontier:
+            ch = children.get(nid, [])
+            if not ch and nid != 0:
+                ch = [nid]  # lower a shallow leaf by self-chaining
+            ch = ch[:k]
+            pad = ch + [ch[-1]] * (k - len(ch)) if ch else [nid] * k
+            for j, cid in enumerate(pad):
+                _, w, dbytes = nodes.get(cid, nodes.get(nid))
+                levels[l][pos * k + j] = packed(dbytes)
+                if l == depth - 1 and j < max(len(ch), 1):
+                    weights[pos * k + j] = w
+                nxt.append((cid, pos * k + j)) if j < max(len(ch), 1) else None
+        frontier = nxt
+
+    wmax = weights.max()
+    if wmax <= 0:
+        word_weight = None
+    else:
+        word_weight = jnp.asarray(weights, jnp.float32)
+    return Vocabulary(levels=tuple(jnp.asarray(lv) for lv in levels),
+                      k=k, depth=depth, word_weight=word_weight)
+
+
+def save_dbow2_vocabulary(path: str, voc: Vocabulary,
+                          name: str = "vocabulary") -> None:
+    """Write the vocabulary in DBoW2's OpenCV-YAML text layout (loadable
+    by the reference's TemplatedVocabulary::load)."""
+    k, depth = voc.k, voc.depth
+    ww = (np.asarray(voc.word_weight) if voc.word_weight is not None
+          else np.ones(voc.num_words, np.float32))
+    lines = ["%YAML:1.0", "---", f"{name}:", f"   k: {k}", f"   L: {depth}",
+             "   scoringType: 0", "   weightingType: 0", "   nodes:"]
+    next_id = 1
+    ids = []  # per level: position -> nodeId
+    for l in range(depth):
+        lv = np.asarray(jax.device_get(voc.levels[l]))
+        n = lv.shape[0]
+        lvl_ids = np.arange(next_id, next_id + n)
+        next_id += n
+        ids.append(lvl_ids)
+        bits = np.asarray(jax.device_get(unpack_bits(jnp.asarray(lv))))
+        dbytes = np.packbits(bits.astype(np.uint8), axis=-1,
+                             bitorder="little")
+        for p in range(n):
+            pid = 0 if l == 0 else int(ids[l - 1][p // k])
+            w = float(ww[p]) if l == depth - 1 else 0.0
+            dstr = " ".join(str(int(b)) for b in dbytes[p])
+            lines.append(
+                f"      - {{ nodeId:{int(lvl_ids[p])}, parentId:{pid}, "
+                f"weight:{w:.6g}, descriptor:\"{dstr}\" }}")
+    lines.append("   words:")
+    for wpos in range(voc.num_words):
+        lines.append(f"      - {{ wordId:{wpos}, "
+                     f"nodeId:{int(ids[-1][wpos])} }}")
+    with _open_vocab(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -207,6 +207,7 @@ class PLSLAMConfig:
             lc_trs=self.lc_trs,
             lc_rot=self.lc_rot,
             min_pt_matches=self.min_pt_matches,
+            vocabulary_file=self.vocabulary_p,
             pgo_iters=min(self.max_iters_pgo, 25),
             fuse_dist=self.max_point_point_error,
         )

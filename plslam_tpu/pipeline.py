@@ -63,6 +63,7 @@ class PLSLAM:
             min_lm_obs=self.config.min_lm_obs,
             min_lm_cov_graph=self.config.min_lm_cov_graph,
             min_kf_local_map=self.config.min_kf_local_map,
+            has_refinement=self.config.has_refinement,
         )
         self.mapper = MapHandler(cam, mcfg, self.config.ba())
         self.loop_closer = None

@@ -56,3 +56,27 @@ def test_endpoint_mode_trajectory(slam_run):
     kf_pos = np.stack([T[:3, 3] for T in traj])
     gt_pos = np.stack([T[:3, 3] for T in poses_gt])[: len(kf_pos)]
     assert ate_rmse(kf_pos, gt_pos, align=True) < 0.25
+
+
+def test_refinement_and_fallback_modes():
+    """has_refinement (:937-977) + global-match fallback (:277-281) keep
+    the pipeline accurate."""
+    scene = SyntheticScene(seed=6)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy, scene.b,
+                              width=scene.width, height=scene.height,
+                              dtype=jnp.float32)
+    cfg = PLSLAMConfig(orb_nfeatures=512, lsd_nfeatures=128, orb_fast_th=15,
+                       min_entropy_ratio=0.99, has_refinement=True,
+                       multithread_slam=False)
+    slam = PLSLAM(cam, cfg, MapConfig(local_ba_kf=8, ba_points=2048,
+                                      ba_lines=256, ba_pobs=8192,
+                                      ba_lobs=2048, has_refinement=True,
+                                      min_pt_matches=1000))  # force fallback
+    poses_gt = circular_trajectory(6, step_t=0.12, step_r=0.015)
+    for i, T in enumerate(poses_gt):
+        il, ir = scene.render_stereo(T)
+        slam.process(jnp.asarray(il), jnp.asarray(ir), timestamp=0.05 * i)
+    traj = slam.finish(run_gba=False)
+    kf_pos = np.stack([T[:3, 3] for T in traj])
+    gt_pos = np.stack([T[:3, 3] for T in poses_gt])[: len(kf_pos)]
+    assert ate_rmse(kf_pos, gt_pos, align=True) < 0.25
