@@ -203,3 +203,12 @@ class PLSLAM:
         """TUM t x y z qx qy qz qw per keyframe
         (SaveKeyFrameTrajectoryTUM :5818)."""
         save_tum(path, self.kf_timestamps, self.keyframe_trajectory())
+
+    def save_logs_jsonl(self, path: str):
+        """Per-frame structured metrics as JSON lines (SURVEY.md §5: the
+        observability the reference's cout logging lacked)."""
+        import json
+
+        with open(path, "w") as f:
+            for log in self.logs:
+                f.write(json.dumps(vars(log)) + "\n")

@@ -1,0 +1,95 @@
+"""Batched multi-sequence VO: lockstep tracking of B streams must match
+per-stream VisualOdometry results, and the batch axis must shard over a
+device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam_tpu.batch_vo import BatchedVisualOdometry
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.frame import FrontendConfig
+from plslam_tpu.frontend.tracker import TrackerConfig
+from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+from plslam_tpu.vo import VisualOdometry
+
+N_FRAMES = 4
+FCFG = FrontendConfig(n_points=512, n_lines=128, fast_th=15.0)
+
+
+def _frames(seed):
+    scene = SyntheticScene(seed=seed)
+    poses = circular_trajectory(N_FRAMES)
+    return scene, [scene.render_stereo(T) for T in poses]
+
+
+@pytest.fixture(scope="module")
+def runs():
+    scenes = [_frames(3), _frames(8)]
+    scene0 = scenes[0][0]
+    cam = StereoCamera.create(scene0.fx, scene0.fy, scene0.cx, scene0.cy,
+                              scene0.b, width=scene0.width,
+                              height=scene0.height, dtype=jnp.float32)
+    # scalar runs
+    scalar = []
+    for scene, fr in scenes:
+        vo = VisualOdometry(cam, FCFG, TrackerConfig())
+        vo.initialize(jnp.asarray(fr[0][0]), jnp.asarray(fr[0][1]))
+        rs = [vo.process(jnp.asarray(il), jnp.asarray(ir))
+              for il, ir in fr[1:]]
+        scalar.append(rs)
+    # batched run
+    bvo = BatchedVisualOdometry(2, cam, FCFG, TrackerConfig())
+    il0 = np.stack([scenes[0][1][0][0], scenes[1][1][0][0]])
+    ir0 = np.stack([scenes[0][1][0][1], scenes[1][1][0][1]])
+    bvo.initialize(il0, ir0)
+    batched = []
+    for t in range(1, N_FRAMES):
+        il = np.stack([scenes[0][1][t][0], scenes[1][1][t][0]])
+        ir = np.stack([scenes[0][1][t][1], scenes[1][1][t][1]])
+        batched.append(bvo.process(il, ir))
+    return scalar, batched
+
+
+def test_batch_matches_scalar(runs):
+    scalar, batched = runs
+    for t, res_b in enumerate(batched):
+        for b in range(2):
+            res_s = scalar[b][t]
+            assert bool(res_b.good[b]) == bool(res_s.good), (t, b)
+            np.testing.assert_allclose(
+                np.asarray(res_b.T_f_w[b]), np.asarray(res_s.T_f_w),
+                atol=5e-4, rtol=0)
+            assert abs(int(res_b.n_inliers[b]) - int(res_s.n_inliers)) <= 2
+
+
+def test_batch_tracks_accurately(runs):
+    _, batched = runs
+    for res in batched:
+        assert bool(res.good.all())
+        assert int(res.n_inliers.min()) >= 20
+
+
+def test_batch_shards_over_mesh():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.local_devices(backend="cpu")
+    if len(devs) < 2:
+        pytest.skip("needs forced multi-device host")
+    mesh = Mesh(np.asarray(devs[:2]), ("seq",))
+    sharding = NamedSharding(mesh, P("seq"))
+    scene, fr = _frames(3)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                              scene.b, width=scene.width,
+                              height=scene.height, dtype=jnp.float32)
+    bvo = BatchedVisualOdometry(2, cam, FCFG, TrackerConfig(),
+                                sharding=sharding)
+    il0 = np.stack([fr[0][0], fr[0][0]])
+    ir0 = np.stack([fr[0][1], fr[0][1]])
+    bvo.initialize(il0, ir0)
+    res = bvo.process(np.stack([fr[1][0]] * 2), np.stack([fr[1][1]] * 2))
+    assert bool(res.good.all())
+    # both lanes identical inputs -> identical outputs
+    np.testing.assert_allclose(np.asarray(res.T_f_w[0]),
+                               np.asarray(res.T_f_w[1]), atol=1e-6)
