@@ -44,13 +44,30 @@ class RectifiedCalib:
 
 
 def load_euroc_calib(params_file: str) -> RectifiedCalib:
-    """Parse the reference's euroc_params.yaml (Kl/Kr/Dl/Dr/R/t form) and
-    build rectification maps (pinholeStereoCamera.cpp:30-96)."""
-    assert yaml is not None and cv2 is not None
+    """Parse a reference dataset_params.yaml and build rectification maps.
+
+    Both calibration forms of pinholeStereoCamera.cpp:30-129 are handled:
+    the EuRoC Kl/Kr/Dl/Dr/R/t form (stereoRectify + undistort maps) and
+    the already-rectified fx/fy/cx/cy/bl scalar form used by the KITTI /
+    asusxtion / perceptin parameter files (identity maps)."""
+    assert yaml is not None
     with open(params_file) as f:
         data = yaml.safe_load(f)
     c = data["cam0"]
     w, h = int(c["cam_width"]), int(c["cam_height"])
+
+    if "Kl" not in c:
+        # fx/fy scalar form: images are already rectified; maps = identity
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        ident = (gx, gy)
+        return RectifiedCalib(
+            fx=float(c["cam_fx"]), fy=float(c["cam_fy"]),
+            cx=float(c["cam_cx"]), cy=float(c["cam_cy"]),
+            baseline=float(c["cam_bl"]), width=w, height=h,
+            map_l=ident, map_r=ident)
+
+    assert cv2 is not None
 
     def K_of(v):
         fx, fy, cx, cy = v
@@ -88,36 +105,32 @@ def sorted_images(folder: str):
     return [os.path.join(folder, n) for n in sorted(names, key=key)]
 
 
-class EurocDataset:
-    """Iterates rectified stereo pairs + timestamps.
-
-    dataset_dir layout: mav0/cam0/data/*.png, mav0/cam1/data/*.png (EuRoC
-    standard; also accepts cam0/data directly).
-    """
+class StereoDirDataset:
+    """Directory-based stereo sequence reader (Dataset, dataset.cpp:88-196):
+    two image subfolders, regex-numeric filename sort, offset/count/step
+    decimation, rectify-on-read.  Subfolder names follow the reference's
+    ``images_subfolder_l/r`` dataset-params keys (cam0/data for EuRoC,
+    image_2 / image_3 for KITTI, image_l / image_r for RGB-D rigs)."""
 
     def __init__(self, dataset_dir: str, calib: RectifiedCalib,
+                 subfolder_l: str = "cam0/data", subfolder_r: str = "cam1/data",
                  offset: int = 0, nmax: int = 0, step: int = 1,
                  rectify_on_host: bool = True):
-        for sub in ("mav0", "."):
-            cam0 = os.path.join(dataset_dir, sub, "cam0", "data")
-            if os.path.isdir(cam0):
-                base = os.path.join(dataset_dir, sub)
-                break
-        else:
-            raise FileNotFoundError(f"no cam0/data under {dataset_dir}")
-        self.files_l = sorted_images(os.path.join(base, "cam0", "data"))
-        self.files_r = sorted_images(os.path.join(base, "cam1", "data"))
+        self.files_l = sorted_images(os.path.join(dataset_dir, subfolder_l))
+        self.files_r = sorted_images(os.path.join(dataset_dir, subfolder_r))
         n = min(len(self.files_l), len(self.files_r))
         end = offset + nmax * step if nmax > 0 else n
         self.files_l = self.files_l[offset:end:step]
         self.files_r = self.files_r[offset:end:step]
         self.calib = calib
         self.rectify_on_host = rectify_on_host
-        # timestamps: ns from filename (EuRoC convention)
-        self.timestamps = [
-            int(_NUM_RE.search(os.path.basename(p)).group(1)) * 1e-9
-            for p in self.files_l
-        ]
+        # timestamps: ns when filenames carry EuRoC epoch values, else
+        # frame index at 10 Hz (KITTI-style 000000.png counters)
+        self.timestamps = []
+        for i, p in enumerate(self.files_l):
+            m = _NUM_RE.search(os.path.basename(p))
+            v = int(m.group(1)) if m else i
+            self.timestamps.append(v * 1e-9 if v > 10 ** 14 else 0.1 * i)
 
     def __len__(self):
         return len(self.files_l)
@@ -130,6 +143,24 @@ class EurocDataset:
             ir = cv2.remap(ir, *self.calib.map_r, cv2.INTER_LINEAR)
         return (il.astype(np.float32), ir.astype(np.float32),
                 self.timestamps[i])
+
+
+class EurocDataset(StereoDirDataset):
+    """EuRoC MAV layout: mav0/cam0/data + mav0/cam1/data (also accepts
+    cam0/data at the top level)."""
+
+    def __init__(self, dataset_dir: str, calib: RectifiedCalib,
+                 offset: int = 0, nmax: int = 0, step: int = 1,
+                 rectify_on_host: bool = True):
+        for sub in ("mav0", "."):
+            if os.path.isdir(os.path.join(dataset_dir, sub, "cam0", "data")):
+                base = os.path.join(dataset_dir, sub)
+                break
+        else:
+            raise FileNotFoundError(f"no cam0/data under {dataset_dir}")
+        super().__init__(base, calib, "cam0/data", "cam1/data",
+                         offset=offset, nmax=nmax, step=step,
+                         rectify_on_host=rectify_on_host)
 
 
 def load_groundtruth(gt_file: str):

@@ -57,9 +57,23 @@ def main():
            else PLSLAMConfig())
     slam = PLSLAM(cam, cfg)
 
-    ds = EurocDataset(args.dataset_dir, calib, offset=args.offset,
-                      nmax=args.nmax, step=args.step,
-                      rectify_on_host=not args.native_loader)
+    # honor the params file's images_subfolder_l/r keys (KITTI etc.); fall
+    # back to the EuRoC mav0/cam*/data layout
+    import yaml as _yaml
+    with open(params) as f:
+        _p = _yaml.safe_load(f)
+    if "images_subfolder_l" in _p:
+        from plslam_tpu.io.euroc import StereoDirDataset
+        ds = StereoDirDataset(
+            args.dataset_dir, calib,
+            subfolder_l=_p["images_subfolder_l"],
+            subfolder_r=_p["images_subfolder_r"],
+            offset=args.offset, nmax=args.nmax, step=args.step,
+            rectify_on_host=not args.native_loader)
+    else:
+        ds = EurocDataset(args.dataset_dir, calib, offset=args.offset,
+                          nmax=args.nmax, step=args.step,
+                          rectify_on_host=not args.native_loader)
     if args.native_loader:
         from plslam_tpu.native.loader import NativeStereoLoader
         nl = NativeStereoLoader(ds.files_l, ds.files_r, calib.width,

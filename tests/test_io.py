@@ -71,3 +71,32 @@ def test_associate_timestamps():
     ie, ig = associate_timestamps(t_est, t_gt, max_dt=0.05)
     assert list(ie) == [0, 2]
     assert list(ig) == [0, 2]
+
+
+def test_kitti_params_and_layout(tmp_path):
+    """The reference's KITTI parameter files (fx/fy scalar calibration form,
+    image_2/image_3 subfolders) load and read."""
+    import cv2
+    import numpy as np
+
+    from plslam_tpu.io.euroc import StereoDirDataset, load_euroc_calib
+
+    calib = load_euroc_calib(
+        "/root/reference/config/dataset_params/kitti00-02.yaml")
+    assert abs(calib.fx - 718.856) < 1e-3
+    assert abs(calib.baseline - 0.537165719) < 1e-6
+    assert calib.width == 1241 and calib.height == 376
+
+    for sub in ("image_2", "image_3"):
+        (tmp_path / sub).mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, (376, 1241), dtype=np.uint8)
+        for sub in ("image_2", "image_3"):
+            cv2.imwrite(str(tmp_path / sub / f"{i:06d}.png"), img)
+    ds = StereoDirDataset(str(tmp_path), calib,
+                          subfolder_l="image_2/", subfolder_r="image_3/")
+    assert len(ds) == 3
+    il, ir, t = ds[1]
+    assert il.shape == (376, 1241)
+    assert abs(t - 0.1) < 1e-9  # counter filenames -> 10 Hz timestamps
