@@ -106,6 +106,10 @@ class PLSLAMConfig:
     max_iters_lba: int = 15
     vocabulary_p: str = ""
     vocabulary_l: str = ""
+    # checkpointing (not in the reference; SURVEY.md §5 restartability)
+    checkpoint_every_kf: int = 0   # 0 = off
+    checkpoint_dir: str = "checkpoints"
+
     lc_res: float = 1.0
     lc_unc: float = 0.01
     lc_inl: float = 0.3

@@ -149,6 +149,8 @@ class PLSLAM:
                 self._kf_queue.put((pose, feats))
             else:
                 self._insert_keyframe(pose, feats)
+            if self.config.checkpoint_every_kf > 0:
+                self.maybe_autocheckpoint()
         self.logs.append(FrameLog(
             frame=self._frame_idx, t_total=time.time() - t0,
             n_inliers=int(res.n_inliers), err=float(res.err),
@@ -203,6 +205,37 @@ class PLSLAM:
         """TUM t x y z qx qy qz qw per keyframe
         (SaveKeyFrameTrajectoryTUM :5818)."""
         save_tum(path, self.kf_timestamps, self.keyframe_trajectory())
+
+    # -- checkpoint / resume (SURVEY.md §5: absent in the reference) ------
+
+    def save_checkpoint(self, path: str):
+        """Serialize the full map state; safe mid-run (drains the mapping
+        queue first so the worker isn't mutating the map)."""
+        from .io.checkpoint import save_map
+
+        self.wait_until_idle()
+        save_map(path, self.mapper)
+
+    def load_checkpoint(self, path: str):
+        """Restore map state into this pipeline's mapper (resume / offline
+        GBA on a saved map)."""
+        from .io.checkpoint import load_map
+
+        self.wait_until_idle()
+        load_map(path, self.mapper)
+        self._initialized = len(self.mapper.map.keyframes) > 0
+
+    def maybe_autocheckpoint(self):
+        if (self.config.checkpoint_every_kf > 0
+                and len(self.mapper.map.keyframes) > 0
+                and len(self.mapper.map.keyframes)
+                % self.config.checkpoint_every_kf == 0):
+            import os
+
+            os.makedirs(self.config.checkpoint_dir, exist_ok=True)
+            self.save_checkpoint(os.path.join(
+                self.config.checkpoint_dir,
+                f"map_kf{len(self.mapper.map.keyframes):05d}.npz"))
 
     def save_logs_jsonl(self, path: str):
         """Per-frame structured metrics as JSON lines (SURVEY.md §5: the

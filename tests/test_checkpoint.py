@@ -66,3 +66,44 @@ def test_resumed_map_supports_ba():
         res = fresh.local_bundle_adjustment()
         assert res is not None
         assert np.isfinite(float(res.cost))
+
+
+def test_pipeline_autocheckpoint_and_resume(tmp_path):
+    """Auto-checkpoint every N keyframes, then resume into a fresh pipeline
+    and keep processing."""
+    import jax.numpy as jnp
+
+    from plslam_tpu.backend.mapping import MapConfig
+    from plslam_tpu.config import PLSLAMConfig
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+    from plslam_tpu.pipeline import PLSLAM
+
+    scene = SyntheticScene(seed=5)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                              scene.b, width=scene.width, height=scene.height,
+                              dtype=jnp.float32)
+    cfg = PLSLAMConfig(orb_nfeatures=512, lsd_nfeatures=128, orb_fast_th=15,
+                       min_entropy_ratio=0.99, multithread_slam=False,
+                       checkpoint_every_kf=2,
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    mc = MapConfig(local_ba_kf=8, ba_points=2048, ba_lines=256,
+                   ba_pobs=8192, ba_lobs=2048)
+    slam = PLSLAM(cam, cfg, mc)
+    poses = circular_trajectory(6, step_t=0.12, step_r=0.015)
+    for i, T in enumerate(poses):
+        il, ir = scene.render_stereo(T)
+        slam.process(jnp.asarray(il), jnp.asarray(ir), timestamp=0.05 * i)
+    slam.finish(run_gba=False)
+    ckpts = sorted((tmp_path / "ckpt").glob("map_kf*.npz"))
+    assert len(ckpts) >= 1
+
+    # resume: load the newest checkpoint into a fresh pipeline and run GBA
+    slam2 = PLSLAM(cam, PLSLAMConfig(multithread_slam=False), mc)
+    slam2.load_checkpoint(str(ckpts[-1]))
+    n_kf = len(slam2.mapper.map.keyframes)
+    assert n_kf >= 2
+    if n_kf >= 3:
+        slam2.global_bundle_adjustment()
+    traj = slam2.keyframe_trajectory()
+    assert len(traj) == n_kf
