@@ -43,6 +43,10 @@ class LoopConfig:
     vocab_k: int = 8
     vocab_depth: int = 3
     vocabulary_file: str = ""   # pre-trained DBoW2 yml(.gz); "" = online
+    vocabulary_file_l: str = "" # line-descriptor vocabulary (dbow_voc_l)
+    use_line_bow: bool = True   # combined P+L scoring (insertKFBowVectorPL)
+    pgo_graph: str = "covisibility"  # or "essential" (:5070 vs :5301)
+    min_lm_ess_graph: int = 150      # essential-graph edge threshold
     pgo_iters: int = 15
     fuse_dist: float = 0.1      # max_point_point_error
 
@@ -56,10 +60,12 @@ class LoopCloser:
         self.mapper = mapper
         self.cfg = cfg
         self.voc: vocab_mod.Vocabulary | None = None
-        self.bow: list[np.ndarray] = []       # per-KF BoW vectors
+        self.voc_l: vocab_mod.Vocabulary | None = None
+        self.bow: list[dict] = []             # per-KF BoW records
         self.conf: np.ndarray = np.zeros((0, 0), np.float32)
         self.closed_at: int = -10 ** 9
         self._tf = None
+        self._tf_l = None
 
     # -- BoW bookkeeping ---------------------------------------------------
 
@@ -84,6 +90,24 @@ class LoopCloser:
                 iters=4)
         voc = self.voc
         self._tf = jax.jit(lambda d, v: vocab_mod.transform(voc, d, v))
+        # line vocabulary (dbow_voc_l) for the combined P+L scoring
+        if self.cfg.use_line_bow:
+            if self.cfg.vocabulary_file_l:
+                self.voc_l = vocab_mod.load_dbow2_vocabulary(
+                    self.cfg.vocabulary_file_l)
+            else:
+                ldescs = [kf.ls_desc[kf.ls_valid]
+                          for kf in self.mapper.map.keyframes]
+                lcorpus = (np.concatenate(ldescs) if ldescs
+                           else np.zeros((0, 8), np.uint32))
+                if len(lcorpus) >= 100:
+                    self.voc_l = vocab_mod.train_vocabulary(
+                        lcorpus, k=self.cfg.vocab_k,
+                        depth=max(self.cfg.vocab_depth - 1, 2), iters=4)
+            if self.voc_l is not None:
+                voc_l = self.voc_l
+                self._tf_l = jax.jit(
+                    lambda d, v: vocab_mod.transform(voc_l, d, v))
         # back-fill vectors for all *previous* KFs (the caller appends the
         # newest one itself — keep bow/conf aligned with keyframe ids)
         prev = self.mapper.map.keyframes[:-1]
@@ -92,14 +116,48 @@ class LoopCloser:
         self.conf = np.zeros((k, k), np.float32)
         for i in range(k):
             for j in range(i):
-                s = float(vocab_mod.l1_score(jnp.asarray(self.bow[i]),
-                                             jnp.asarray(self.bow[j])))
+                s = self._combined_score(self.bow[i], self.bow[j])
                 self.conf[i, j] = self.conf[j, i] = s
         return True
 
-    def _bow_of(self, kf: KeyframeRecord) -> np.ndarray:
-        return np.asarray(self._tf(jnp.asarray(kf.pt_desc),
-                                   jnp.asarray(kf.pt_valid)))
+    def _bow_of(self, kf: KeyframeRecord) -> dict:
+        """BoW record with the feature-count and spatial-dispersion weights
+        of insertKFBowVectorPL (:4182-4213)."""
+        rec = {"p": np.asarray(self._tf(jnp.asarray(kf.pt_desc),
+                                        jnp.asarray(kf.pt_valid)))}
+        uv = kf.pt_uv[kf.pt_valid]
+        rec["n_pt"] = int(len(uv))
+        rec["std_pt"] = float(uv[:, 0].std() + uv[:, 1].std()) if len(uv) else 0.0
+        if self._tf_l is not None:
+            rec["l"] = np.asarray(self._tf_l(jnp.asarray(kf.ls_desc),
+                                             jnp.asarray(kf.ls_valid)))
+            mid = 0.5 * (kf.ls_sp + kf.ls_ep)[kf.ls_valid]
+            rec["n_ls"] = int(len(mid))
+            rec["std_ls"] = (float(mid[:, 0].std() + mid[:, 1].std())
+                             if len(mid) else 0.0)
+        else:
+            rec["l"] = None
+            rec["n_ls"] = 0
+            rec["std_ls"] = 0.0
+        return rec
+
+    def _combined_score(self, a: dict, b: dict) -> float:
+        """Two summed strategies (:4221-4228): feature-count-weighted and
+        dispersion-weighted mixes of the point and line BoW scores."""
+        sp = float(vocab_mod.l1_score(jnp.asarray(a["p"]),
+                                      jnp.asarray(b["p"])))
+        if a["l"] is None or b["l"] is None:
+            return 2.0 * sp  # both strategies collapse to points
+        sl = float(vocab_mod.l1_score(jnp.asarray(a["l"]),
+                                      jnp.asarray(b["l"])))
+        n_pt = a["n_pt"]
+        n_ls = a["n_ls"]
+        n_pl = max(n_pt + n_ls, 1)
+        std_pt = a["std_pt"]
+        std_ls = a["std_ls"]
+        std_pl = max(std_pt + std_ls, 1e-9)
+        return ((sp * n_pt + sl * n_ls) / n_pl
+                + (sp * std_pt + sl * std_ls) / std_pl)
 
     def on_new_keyframe(self) -> dict | None:
         """Call after MapHandler.add_keyframe: update the conf matrix and
@@ -118,7 +176,7 @@ class LoopCloser:
         conf = np.zeros((k, k), np.float32)
         conf[: k - 1, : k - 1] = self.conf
         for j in range(k - 1):
-            s = float(vocab_mod.l1_score(jnp.asarray(v), jnp.asarray(self.bow[j])))
+            s = self._combined_score(v, self.bow[j])
             conf[k - 1, j] = conf[j, k - 1] = s
         self.conf = conf
 
@@ -221,7 +279,12 @@ class LoopCloser:
             e_T.append(np.linalg.inv(T_old[i]) @ T_old[i + 1])
             e_w.append(1.0)
         # covisibility edges (covis >= min_lm_cov_graph, :5380)
-        th = self.mapper.cfg.min_lm_cov_graph
+        # graph variant (:5070-5299 essential / :5301-5531 covisibility):
+        # the essential graph keeps only strong edges and fixes the LC
+        # target; the covisibility graph fixes only KF0
+        essential = self.cfg.pgo_graph == "essential"
+        th = (self.cfg.min_lm_ess_graph if essential
+              else self.mapper.cfg.min_lm_cov_graph)
         for i in range(K):
             for j in range(i + 2, K):
                 if mp.covis[i, j] >= th:
@@ -236,9 +299,11 @@ class LoopCloser:
         e_T.append(np.linalg.inv(T_rel))
         e_w.append(float(len(e_i)))  # strong information on the loop edge
 
+        fixed = ((jnp.arange(K) == 0) | (jnp.arange(K) == cand_id)
+                 if essential else jnp.arange(K) == 0)
         g = pgo_mod.PoseGraph(
             T_w_k=jnp.asarray(T_old),
-            fixed=jnp.arange(K) == 0,
+            fixed=fixed,
             valid=jnp.ones(K, bool),
             e_i=jnp.asarray(e_i, jnp.int32),
             e_j=jnp.asarray(e_j, jnp.int32),

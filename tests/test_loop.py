@@ -42,8 +42,7 @@ def make_features(T_w_c_true: np.ndarray, place_pts: np.ndarray,
     return StereoFeatures(points=pts, lines=LineSet.empty(8))
 
 
-@pytest.fixture(scope="module")
-def loop_setup():
+def _run_loop_scenario(**loop_kwargs):
     # square loop of 12 steps; drifted odometry, true revisit at the end
     side = 3
     xis = []
@@ -75,7 +74,7 @@ def loop_setup():
     mapper = MapHandler(CAM, MapConfig(use_lines=False, min_lm_cov_graph=10**9))
     closer = LoopCloser(CAM, mapper, LoopConfig(
         lc_kf_dist=8, lc_nkf_closest=1, min_pt_matches=12, vocab_k=6,
-        vocab_depth=2))
+        vocab_depth=2, **loop_kwargs))
 
     # insert KFs 0..11 at drifted poses observing their own place
     mapper.initialize(T_drift[0], make_features(T_true[0], places_pts[0],
@@ -100,6 +99,11 @@ def loop_setup():
     return mapper, closer, reports, T_true, drift_before
 
 
+@pytest.fixture(scope="module")
+def loop_setup():
+    return _run_loop_scenario()
+
+
 def test_loop_detected(loop_setup):
     _, _, reports, _, _ = loop_setup
     assert len(reports) >= 1, "no loop closure fired"
@@ -119,3 +123,17 @@ def test_no_false_loops_midway(loop_setup):
     # only the genuine revisit should close
     assert all(r["candidate"] == 0 for r in reports)
     assert len(reports) == 1
+
+
+def test_essential_graph_variant():
+    """loopClosureOptimizationEssGraphG2O (:5070-5299): strong-edge graph
+    with the loop-closure target fixed also corrects the drift."""
+    global RNG
+    RNG = np.random.default_rng(17)
+    mapper, _, reports, T_true, drift_before = _run_loop_scenario(
+        pgo_graph="essential")
+    assert len(reports) >= 1 and reports[-1]["candidate"] == 0
+    kf = mapper.map.keyframes[-1]
+    drift_after = np.linalg.norm(
+        kf.T_w_k[:3, 3] - T_true[len(T_true) - 1][:3, 3])
+    assert drift_after < 0.5 * drift_before, (drift_before, drift_after)
