@@ -67,9 +67,12 @@ class BatchedVisualOdometry:
             lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees))
         # under a mesh sharding the batch axis must stay partitioned, so
         # the vmapped whole-batch program is used (each device then runs
-        # its own small sub-batch)
-        self._det_pts_v = jax.jit(jax.vmap(det_pts, in_axes=(0, 0)))
-        self._det_ls_v = jax.jit(jax.vmap(det_ls))
+        # its own small sub-batch); the Pallas score kernel cannot be
+        # vmapped (ANY-space operand), so this path pins the XLA scorer
+        det_pts_x, det_ls_x = make_batched_detectors(
+            fcfg._replace(use_pallas_fast=False))
+        self._det_pts_v = jax.jit(jax.vmap(det_pts_x, in_axes=(0, 0)))
+        self._det_ls_v = jax.jit(jax.vmap(det_ls_x))
 
         def _match_pair(kp_pair, seg_pair):
             (kp, pdesc) = kp_pair

@@ -45,6 +45,13 @@ class FrontendConfig(NamedTuple):
     stereo_overlap_th: float = 0.75
     min_line_length_frac: float = 0.025  # min_line_length * image size
     line_window: float = 120.0
+    # Pallas FAST score kernel: standalone it beats the XLA formulation
+    # (1.68 vs 2.10 ms on the 2-image stack), but the pallas_call boundary
+    # blocks XLA from fusing the score maps into corner selection, so the
+    # end-to-end detector measures 0.5 ms SLOWER (6.60 vs 6.05 ms).  Off
+    # by default; None currently means off (auto may flip once the
+    # selection stage moves into the kernel).
+    use_pallas_fast: bool | None = None
 
 
 def _sigma2(level: jax.Array, scale_factor: float) -> jax.Array:
@@ -67,12 +74,14 @@ def extract_stereo_features(
 
 def make_batched_detectors(cfg: FrontendConfig):
     """Two jit programs that detect+describe on a stacked (2, H, W) image
-    pair at once (left/right vmapped) — halves the per-frame dispatch count
+    pair at once (left/right batched) — halves the per-frame dispatch count
     versus calling per-image, which matters when dispatch latency is high
-    (remote-tunnel TPU)."""
+    (remote-tunnel TPU).  The point detector routes its score stage through
+    the batch-grid Pallas kernel when on TPU (a vmapped pallas_call cannot
+    batch its ANY-space image operand, so the batch axis is threaded
+    explicitly)."""
     det_pts = jax.jit(
-        jax.vmap(lambda im, th: _detect_describe_points(im, cfg, th),
-                 in_axes=(0, None)))
+        lambda imgs, th: _detect_describe_points_batch(imgs, cfg, th))
     det_ls = jax.jit(jax.vmap(lambda im: _detect_describe_lines(im, cfg)))
     return det_pts, det_ls
 
@@ -113,14 +122,36 @@ def make_extractor(cam: StereoCamera, cfg: FrontendConfig):
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas(cfg: FrontendConfig) -> bool:
+    return bool(cfg.use_pallas_fast)
+
+
 def _detect_describe_points(img, cfg: FrontendConfig, fast_th=None):
     from ..ops.image import build_pyramid
 
     th = cfg.fast_th if fast_th is None else fast_th
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    # single-image path stays XLA-only: it is called under vmap in several
+    # places, which the Pallas kernel's ANY-space operand cannot batch
     kp = fast.detect_pyramid(levels, th, cfg.n_points, cfg.edge_th,
                              cfg.scale_factor)
     desc, _ = orb.describe(img, kp.xy, kp.valid)
+    return kp, desc
+
+
+def _detect_describe_points_batch(imgs, cfg: FrontendConfig, fast_th=None):
+    """(B, H, W) stack -> batched Keypoints + descriptors; the score stage
+    runs through the Pallas batch kernel when on a TPU backend."""
+    from ..ops.image import build_pyramid
+
+    th = cfg.fast_th if fast_th is None else fast_th
+    levels = jax.vmap(
+        lambda im: tuple(build_pyramid(im, cfg.n_levels, cfg.scale_factor))
+    )(imgs)
+    kp = fast.detect_pyramid_batch(list(levels), th, cfg.n_points,
+                                   cfg.edge_th, cfg.scale_factor,
+                                   pallas=_use_pallas(cfg))
+    desc, _ = jax.vmap(orb.describe)(imgs, kp.xy, kp.valid)
     return kp, desc
 
 

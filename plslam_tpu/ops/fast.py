@@ -69,14 +69,30 @@ def nms3x3(score: jax.Array) -> jax.Array:
 
 
 def detect_level(img: jax.Array, threshold: float, max_kp: int,
-                 border: int) -> Keypoints:
+                 border: int, pallas: bool = False) -> Keypoints:
     """Top-K FAST corners on one image with border exclusion
     (Config::orbEdgeTh=19) and parabolic sub-pixel refinement — integer
     corner coordinates would quantize stereo disparity by a full pixel,
-    which at EuRoC depths is tens of centimeters of depth error."""
+    which at EuRoC depths is tens of centimeters of depth error.
+
+    ``pallas=True`` computes score+NMS with the fused VMEM kernel
+    (ops/pallas_fast.py; TPU only, bit-identical away from the border)."""
     H, W = img.shape
-    raw = fast_score_map(img, threshold)
-    s = nms3x3(raw)
+    if pallas:
+        from .pallas_fast import fast_score_nms
+
+        raw, s = fast_score_nms(img, threshold)
+    else:
+        raw = fast_score_map(img, threshold)
+        s = nms3x3(raw)
+    return select_corners(raw, s, max_kp, border)
+
+
+def select_corners(raw: jax.Array, s: jax.Array, max_kp: int,
+                   border: int) -> Keypoints:
+    """Top-K + sub-pixel refinement on precomputed (raw, nms) score maps
+    (split out so batched/Pallas score producers can share it)."""
+    H, W = raw.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = ((xx >= border) & (xx < W - border)
@@ -98,8 +114,8 @@ def detect_level(img: jax.Array, threshold: float, max_kp: int,
                    raw[y, jnp.minimum(x + 1, W - 1)])
     off_y = subpix(s_c, raw[jnp.maximum(y - 1, 0), x],
                    raw[jnp.minimum(y + 1, H - 1), x])
-    xf = x.astype(img.dtype) + off_x
-    yf = y.astype(img.dtype) + off_y
+    xf = x.astype(raw.dtype) + off_x
+    yf = y.astype(raw.dtype) + off_y
     return Keypoints(
         xy=jnp.stack([xf, yf], axis=-1),
         score=vals,
@@ -109,14 +125,15 @@ def detect_level(img: jax.Array, threshold: float, max_kp: int,
 
 
 def detect_pyramid(levels, threshold: float, max_total: int, border: int,
-                   scale_factor: float, per_level: int | None = None) -> Keypoints:
+                   scale_factor: float, per_level: int | None = None,
+                   pallas: bool = False) -> Keypoints:
     """Detect on every pyramid level, scale coords to level 0, keep global
     top max_total by score (ORB multi-scale semantics)."""
     n = len(levels)
     per = per_level or max_total // n + 1
     all_xy, all_s, all_l, all_v = [], [], [], []
     for i, img in enumerate(levels):
-        kp = detect_level(img, threshold, per, border)
+        kp = detect_level(img, threshold, per, border, pallas=pallas)
         scale = scale_factor ** i
         all_xy.append(kp.xy * scale)
         all_s.append(kp.score)
@@ -128,3 +145,39 @@ def detect_pyramid(levels, threshold: float, max_total: int, border: int,
     va = jnp.concatenate(all_v)
     vals, idx = jax.lax.top_k(jnp.where(va, sc, -1.0), max_total)
     return Keypoints(xy=xy[idx], score=vals, level=lv[idx], valid=vals > 0)
+
+
+def detect_pyramid_batch(levels, threshold, max_total: int, border: int,
+                         scale_factor: float, per_level: int | None = None,
+                         pallas: bool = False) -> Keypoints:
+    """Batched multi-scale detection: ``levels`` is a list of (B, h_l, w_l)
+    image stacks.  The score+NMS stage runs once per level over the whole
+    batch (through the Pallas kernel's own batch grid when enabled — a
+    vmapped pallas_call cannot batch an ANY-space operand), selection is
+    vmapped.  Returns Keypoints with leading (B,) axes."""
+    n = len(levels)
+    per = per_level or max_total // n + 1
+    all_xy, all_s, all_l, all_v = [], [], [], []
+    B = levels[0].shape[0]
+    for i, imgs in enumerate(levels):
+        if pallas:
+            from .pallas_fast import fast_score_nms_batch
+
+            raw, s = fast_score_nms_batch(imgs, threshold)
+        else:
+            raw = jax.vmap(lambda im: fast_score_map(im, threshold))(imgs)
+            s = jax.vmap(nms3x3)(raw)
+        kp = jax.vmap(lambda r, ss: select_corners(r, ss, per, border))(raw, s)
+        scale = scale_factor ** i
+        all_xy.append(kp.xy * scale)
+        all_s.append(kp.score)
+        all_l.append(jnp.full((B, per), i, jnp.int32))
+        all_v.append(kp.valid)
+    xy = jnp.concatenate(all_xy, axis=1)
+    sc = jnp.concatenate(all_s, axis=1)
+    lv = jnp.concatenate(all_l, axis=1)
+    va = jnp.concatenate(all_v, axis=1)
+    vals, idx = jax.lax.top_k(jnp.where(va, sc, -1.0), max_total)
+    take = jnp.take_along_axis
+    return Keypoints(xy=take(xy, idx[..., None], axis=1), score=vals,
+                     level=take(lv, idx, axis=1), valid=vals > 0)
