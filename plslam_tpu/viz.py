@@ -127,6 +127,36 @@ def plot_covisibility(mapper, path: str):
     return path
 
 
+def plot_frame(img, feats, path: str, title: str = "stereo frame"):
+    """Left image with detected/matched features overlaid — the
+    plotStereoFrame debug render (stereoFrame.cpp:655): matched stereo
+    points as circles, line segments as colored strokes."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
+    pts = feats.points
+    uv = np.asarray(pts.uv)
+    ok = np.asarray(pts.valid)
+    ax.plot(uv[ok, 0], uv[ok, 1], "o", ms=3, mfc="none", mec="#2ca02c",
+            label=f"stereo points ({int(ok.sum())})")
+    ls = feats.lines
+    sp, ep = np.asarray(ls.sp), np.asarray(ls.ep)
+    lok = np.asarray(ls.valid)
+    n_l = int(lok.sum())
+    for i in np.nonzero(lok)[0]:
+        ax.plot([sp[i, 0], ep[i, 0]], [sp[i, 1], ep[i, 1]],
+                "-", c="#d62728", lw=1.2)
+    ax.plot([], [], "-", c="#d62728", label=f"stereo lines ({n_l})")
+    ax.set_xlim(0, img.shape[1])
+    ax.set_ylim(img.shape[0], 0)
+    ax.legend(loc="upper right")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
 def render_run(slam, out_dir: str, gt=None) -> list[str]:
     """Standard artifact set for a finished PLSLAM run."""
     os.makedirs(out_dir, exist_ok=True)

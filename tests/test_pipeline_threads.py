@@ -75,3 +75,18 @@ def test_viz_artifacts(both_runs):
         files = viz.render_run(s1, d, gt=np.stack(gt))
         for f in files:
             assert os.path.exists(f) and os.path.getsize(f) > 1000, f
+
+
+def test_plot_frame(both_runs):
+    import tempfile
+
+    from plslam_tpu import viz
+    from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+
+    _, (s1, _, _) = both_runs
+    scene = SyntheticScene(seed=7)
+    il, _ = scene.render_stereo(circular_trajectory(1)[0])
+    feats = s1.vo.current_features
+    with tempfile.TemporaryDirectory() as d:
+        p = viz.plot_frame(il, feats, os.path.join(d, "frame.png"))
+        assert os.path.getsize(p) > 1000
