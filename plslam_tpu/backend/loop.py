@@ -115,9 +115,9 @@ class LoopCloser:
         k = len(self.bow)
         self.conf = np.zeros((k, k), np.float32)
         for i in range(k):
-            for j in range(i):
-                s = self._combined_score(self.bow[i], self.bow[j])
-                self.conf[i, j] = self.conf[j, i] = s
+            row = self._score_against(self.bow[i], self.bow[:i])
+            self.conf[i, :i] = row
+            self.conf[:i, i] = row
         return True
 
     def _bow_of(self, kf: KeyframeRecord) -> dict:
@@ -141,23 +141,27 @@ class LoopCloser:
             rec["std_ls"] = 0.0
         return rec
 
-    def _combined_score(self, a: dict, b: dict) -> float:
-        """Two summed strategies (:4221-4228): feature-count-weighted and
-        dispersion-weighted mixes of the point and line BoW scores."""
-        sp = float(vocab_mod.l1_score(jnp.asarray(a["p"]),
-                                      jnp.asarray(b["p"])))
-        if a["l"] is None or b["l"] is None:
-            return 2.0 * sp  # both strategies collapse to points
-        sl = float(vocab_mod.l1_score(jnp.asarray(a["l"]),
-                                      jnp.asarray(b["l"])))
-        n_pt = a["n_pt"]
-        n_ls = a["n_ls"]
+    def _score_against(self, a: dict, db: list[dict]) -> np.ndarray:
+        """Combined scores of record ``a`` against a list of records — the
+        two summed strategies of insertKFBowVectorPL (:4221-4228:
+        feature-count-weighted and dispersion-weighted mixes of the point
+        and line BoW scores).  Pure numpy: the vectors are host-resident
+        and per-pair device dispatches would stall the mapping worker."""
+        if not db:
+            return np.zeros(0, np.float32)
+        P = np.stack([b["p"] for b in db])                  # (D, Wp)
+        sp = 1.0 - 0.5 * np.abs(P - a["p"][None]).sum(-1)   # L1 score
+        has_l = a["l"] is not None and all(b["l"] is not None for b in db)
+        if not has_l:
+            return (2.0 * sp).astype(np.float32)
+        L = np.stack([b["l"] for b in db])
+        sl = 1.0 - 0.5 * np.abs(L - a["l"][None]).sum(-1)
+        n_pt, n_ls = a["n_pt"], a["n_ls"]
         n_pl = max(n_pt + n_ls, 1)
-        std_pt = a["std_pt"]
-        std_ls = a["std_ls"]
+        std_pt, std_ls = a["std_pt"], a["std_ls"]
         std_pl = max(std_pt + std_ls, 1e-9)
         return ((sp * n_pt + sl * n_ls) / n_pl
-                + (sp * std_pt + sl * std_ls) / std_pl)
+                + (sp * std_pt + sl * std_ls) / std_pl).astype(np.float32)
 
     def on_new_keyframe(self) -> dict | None:
         """Call after MapHandler.add_keyframe: update the conf matrix and
@@ -175,9 +179,9 @@ class LoopCloser:
         k = len(self.bow)
         conf = np.zeros((k, k), np.float32)
         conf[: k - 1, : k - 1] = self.conf
-        for j in range(k - 1):
-            s = self._combined_score(v, self.bow[j])
-            conf[k - 1, j] = conf[j, k - 1] = s
+        row = self._score_against(v, self.bow[: k - 1])
+        conf[k - 1, : k - 1] = row
+        conf[: k - 1, k - 1] = row
         self.conf = conf
 
         cand = self._look_for_candidates(kf.id)

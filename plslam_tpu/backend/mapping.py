@@ -201,10 +201,12 @@ class MapHandler:
     """Host orchestrator of keyframe insertion and local BA."""
 
     def __init__(self, cam: StereoCamera, cfg: MapConfig = MapConfig(),
-                 ba_cfg: Optional[ba_mod.BAConfig] = None):
+                 ba_cfg: Optional[ba_mod.BAConfig] = None,
+                 tracker_cfg=None):
         self.cam = cam
         self.cfg = cfg
         self.ba_cfg = ba_cfg or ba_mod.BAConfig()
+        self.tracker_cfg = tracker_cfg  # for hasRefinement; None = defaults
         self.map = SlamMap(cfg)
         self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
         self._refine_jit = None  # built lazily (has_refinement only)
@@ -329,7 +331,8 @@ class MapHandler:
 
         prev = self.map.keyframes[-2]
         if self._refine_jit is None:
-            tcfg = TrackerConfig(plucker_lines=self.cfg.plucker_lines,
+            tcfg = self.tracker_cfg or TrackerConfig()
+            tcfg = tcfg._replace(plucker_lines=self.cfg.plucker_lines,
                                  use_lines=self.cfg.use_lines)
             self._refine_jit = jax.jit(
                 lambda p, l, cam: optimize_pose(p, l, cam, tcfg))

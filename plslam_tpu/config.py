@@ -198,6 +198,7 @@ class PLSLAMConfig:
             nnr=self.min_ratio_12_p,
             use_lines=self.has_lines,
             plucker_lines=self.use_line_plucker,
+            min_pt_matches=self.min_pt_matches,
         )
 
     def loop_cfg(self):
@@ -212,6 +213,7 @@ class PLSLAMConfig:
             lc_rot=self.lc_rot,
             min_pt_matches=self.min_pt_matches,
             vocabulary_file=self.vocabulary_p,
+            vocabulary_file_l=self.vocabulary_l,
             pgo_iters=min(self.max_iters_pgo, 25),
             fuse_dist=self.max_point_point_error,
         )

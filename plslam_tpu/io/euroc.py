@@ -41,6 +41,7 @@ class RectifiedCalib:
     height: int
     map_l: tuple  # (map_x, map_y) float32 arrays
     map_r: tuple
+    identity_maps: bool = False  # already-rectified input: skip remap
 
 
 def load_euroc_calib(params_file: str) -> RectifiedCalib:
@@ -65,7 +66,7 @@ def load_euroc_calib(params_file: str) -> RectifiedCalib:
             fx=float(c["cam_fx"]), fy=float(c["cam_fy"]),
             cx=float(c["cam_cx"]), cy=float(c["cam_cy"]),
             baseline=float(c["cam_bl"]), width=w, height=h,
-            map_l=ident, map_r=ident)
+            map_l=ident, map_r=ident, identity_maps=True)
 
     assert cv2 is not None
 
@@ -138,7 +139,7 @@ class StereoDirDataset:
     def __getitem__(self, i: int):
         il = cv2.imread(self.files_l[i], cv2.IMREAD_GRAYSCALE)
         ir = cv2.imread(self.files_r[i], cv2.IMREAD_GRAYSCALE)
-        if self.rectify_on_host:
+        if self.rectify_on_host and not self.calib.identity_maps:
             il = cv2.remap(il, *self.calib.map_l, cv2.INTER_LINEAR)
             ir = cv2.remap(ir, *self.calib.map_r, cv2.INTER_LINEAR)
         return (il.astype(np.float32), ir.astype(np.float32),

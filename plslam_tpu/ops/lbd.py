@@ -69,7 +69,7 @@ def describe(img: jax.Array, sp: jax.Array, ep: jax.Array, valid: jax.Array):
     # one pair of selection matrices serves BOTH gradient images — the
     # one-hots are built once, each extraction is one big MXU matmul
     c2 = centers.reshape(K * Q_PATCHES, 2)
-    OY, OX = make_patch_onehots(c2, PATCH, H, W)
+    OY, OX = make_patch_onehots(c2, PATCH, H, W, center_offset=CENTER)
     px = apply_patch_onehots(gx, OY, OX)                # (KQ, P, P)
     py = apply_patch_onehots(gy, OY, OX)
 

@@ -62,7 +62,8 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
     img: full-resolution grayscale (float); xy: (K, 2) keypoint coords.
     """
     smoothed = blur(img, blur_sigma)
-    patches = extract_patches(smoothed, xy, PATCH)    # (K, 48, 48) f32
+    patches = extract_patches(smoothed, xy, PATCH,
+                          center_offset=CENTER)    # (K, 48, 48) f32
 
     # orientation by intensity centroid over the patch disc
     kx = jnp.asarray(_KX, patches.dtype)
@@ -81,7 +82,7 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
     px, py = pat[..., 0], pat[..., 1]                 # (256, 2)
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
-    frac = xy - jnp.round(xy)                         # (K, 2) in [-0.5, 0.5]
+    frac = xy - jnp.floor(xy + 0.5)                   # (K, 2) in (-0.5, 0.5]
     u = CENTER + frac[:, 0:1, None] + rx              # (K, 256, 2)
     v = CENTER + frac[:, 1:2, None] + ry
     K = xy.shape[0]

@@ -28,6 +28,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _round_half_up(x: jax.Array) -> jax.Array:
+    """floor(x + 0.5): unlike jnp.round's round-half-to-even, the anchor of
+    a half-pixel coordinate does not depend on integer parity — critical
+    because corner detectors land exactly on .5 and banker's rounding
+    would put the patch center on opposite sides of the same corner in two
+    images (flipping the orientation estimate of symmetric corners)."""
+    return jnp.floor(x + 0.5)
+
+
 def _onehot_nearest(idx: jax.Array, n: int, dtype) -> jax.Array:
     """One-hot over axis of size n appended at the end; zero row if out of
     range.  idx: integer array (...,)."""
@@ -72,8 +81,8 @@ def extract_patches(img: jax.Array, xy: jax.Array, patch: int,
         OY = _onehot_bilinear(ys, H, compute_dtype)   # (K, P, H)
         OX = _onehot_bilinear(xs, W, compute_dtype)   # (K, P, W)
     else:
-        y0 = jnp.round(xy[:, 1]).astype(jnp.int32)
-        x0 = jnp.round(xy[:, 0]).astype(jnp.int32)
+        y0 = _round_half_up(xy[:, 1]).astype(jnp.int32)
+        x0 = _round_half_up(xy[:, 0]).astype(jnp.int32)
         ri = jnp.arange(P, dtype=jnp.int32)
         ys = y0[:, None] + ri[None, :] - int(round(off))
         xs = x0[:, None] + ri[None, :] - int(round(off))
@@ -101,8 +110,8 @@ def sample_in_patches(patches: jax.Array, uv: jax.Array,
     float coordinates.  Returns (K, S) f32.  Out-of-patch -> 0.
     """
     K, P, _ = patches.shape
-    vi = jnp.round(uv[..., 1]).astype(jnp.int32)    # rows
-    ui = jnp.round(uv[..., 0]).astype(jnp.int32)    # cols
+    vi = _round_half_up(uv[..., 1]).astype(jnp.int32)    # rows
+    ui = _round_half_up(uv[..., 0]).astype(jnp.int32)    # cols
     OV = _onehot_nearest(vi, P, compute_dtype)       # (K, S, P)
     OU = _onehot_nearest(ui, P, compute_dtype)       # (K, S, P)
     # A[k, s, c] = sum_r OV[k, s, r] * patch[k, r, c]
@@ -121,8 +130,8 @@ def make_patch_onehots(xy: jax.Array, patch: int, H: int, W: int,
     materializes them a single time."""
     P = patch
     off = (P - 1) / 2.0 if center_offset is None else center_offset
-    y0 = jnp.round(xy[:, 1]).astype(jnp.int32)
-    x0 = jnp.round(xy[:, 0]).astype(jnp.int32)
+    y0 = _round_half_up(xy[:, 1]).astype(jnp.int32)
+    x0 = _round_half_up(xy[:, 0]).astype(jnp.int32)
     ri = jnp.arange(P, dtype=jnp.int32)
     ys = y0[:, None] + ri[None, :] - int(round(off))
     xs = x0[:, None] + ri[None, :] - int(round(off))
@@ -148,8 +157,8 @@ def apply_patch_onehots(img: jax.Array, OY: jax.Array, OX: jax.Array,
 def make_sample_onehots(uv: jax.Array, patch: int,
                         compute_dtype=jnp.float32):
     """(OV (K, S, P), OU (K, S, P)) nearest one-hots for in-patch coords."""
-    vi = jnp.round(uv[..., 1]).astype(jnp.int32)
-    ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vi = _round_half_up(uv[..., 1]).astype(jnp.int32)
+    ui = _round_half_up(uv[..., 0]).astype(jnp.int32)
     return (_onehot_nearest(vi, patch, compute_dtype),
             _onehot_nearest(ui, patch, compute_dtype))
 

@@ -64,8 +64,10 @@ class PLSLAM:
             min_lm_cov_graph=self.config.min_lm_cov_graph,
             min_kf_local_map=self.config.min_kf_local_map,
             has_refinement=self.config.has_refinement,
+            min_pt_matches=self.config.min_pt_matches,
         )
-        self.mapper = MapHandler(cam, mcfg, self.config.ba())
+        self.mapper = MapHandler(cam, mcfg, self.config.ba(),
+                         tracker_cfg=self.config.tracker())
         self.loop_closer = None
         if self.config.use_loop_closure:
             from .backend.loop import LoopCloser
@@ -226,13 +228,16 @@ class PLSLAM:
         self._initialized = len(self.mapper.map.keyframes) > 0
 
     def maybe_autocheckpoint(self):
-        if (self.config.checkpoint_every_kf > 0
-                and len(self.mapper.map.keyframes) > 0
-                and len(self.mapper.map.keyframes)
-                % self.config.checkpoint_every_kf == 0):
+        # cadence from the front-end's accepted-KF count (the mapper's
+        # count lags behind the worker thread); the filename is taken
+        # AFTER save_checkpoint drains the queue so it matches the state
+        n = len(self.kf_timestamps)
+        if self.config.checkpoint_every_kf > 0 and n > 0 \
+                and n % self.config.checkpoint_every_kf == 0:
             import os
 
             os.makedirs(self.config.checkpoint_dir, exist_ok=True)
+            self.wait_until_idle()
             self.save_checkpoint(os.path.join(
                 self.config.checkpoint_dir,
                 f"map_kf{len(self.mapper.map.keyframes):05d}.npz"))

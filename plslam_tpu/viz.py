@@ -85,9 +85,10 @@ def plot_map(mapper, path: str, max_points: int = 5000):
                 c="#d62728", lw=1.0, alpha=0.8)
         n_ls += 1
 
-    kf = np.stack([k.T_w_k[:3, 3] for k in m.keyframes])
-    ax.plot(kf[:, 0], kf[:, 2], kf[:, 1], "k.-", lw=1.2, ms=4,
-            label=f"keyframes ({len(m.keyframes)})")
+    if m.keyframes:
+        kf = np.stack([k.T_w_k[:3, 3] for k in m.keyframes])
+        ax.plot(kf[:, 0], kf[:, 2], kf[:, 1], "k.-", lw=1.2, ms=4,
+                label=f"keyframes ({len(m.keyframes)})")
     ax.set_xlabel("x")
     ax.set_ylabel("z")
     ax.set_zlabel("y")
@@ -110,7 +111,9 @@ def plot_covisibility(mapper, path: str):
     axes[0].set_title("covisibility counts (full_graph)")
     axes[0].set_xlabel("keyframe")
 
-    kf = np.stack([k.T_w_k[:3, 3] for k in mapper.map.keyframes])
+    kfs = mapper.map.keyframes
+    kf = (np.stack([k.T_w_k[:3, 3] for k in kfs]) if kfs
+          else np.zeros((0, 3)))
     axes[1].plot(kf[:, 0], kf[:, 2], "k.", ms=5)
     th = mapper.cfg.min_lm_cov_graph
     n = len(kf)
