@@ -251,8 +251,11 @@ class LoopCloser:
                             sigma2=jnp.ones(n, jnp.float32),
                             valid=jnp.asarray(valid),
                             inlier=jnp.asarray(valid))
-        ls = _empty_lines(8)
-        cfgT = trk.TrackerConfig(use_lines=False)
+        ls = self._match_lines_for_verification(old, kf)
+        cfgT = trk.TrackerConfig(use_lines=ls is not None,
+                                 plucker_lines=False)
+        if ls is None:
+            ls = _empty_lines(8)
         est, _, _ = jax.jit(trk.optimize_pose, static_argnums=3)(
             pts, ls, self.cam, cfgT)
         if not bool(est.good):
@@ -268,6 +271,47 @@ class LoopCloser:
                 or t_norm > self.cfg.lc_trs or r_deg > self.cfg.lc_rot):
             return False, None
         return True, DT
+
+    def _match_lines_for_verification(self, old: KeyframeRecord,
+                                      kf: KeyframeRecord):
+        """Line modality of isLoopClosure (:4303-4411): brute-force mutual
+        NNR over the two KFs' line descriptors feeding the relative-pose
+        GN alongside the points (endpoint residuals; the tracker's
+        absolute line gate rejects wrong matches at the points-only
+        round-1 pose)."""
+        nl = len(old.ls_valid)
+        if nl == 0 or not old.ls_valid.any() or not kf.ls_valid.any():
+            return None
+        mask = (jnp.asarray(old.ls_valid)[:, None]
+                & jnp.asarray(kf.ls_valid)[None, :])
+        res = M.match_mutual_nnr(
+            hamming_distance_matrix(jnp.asarray(old.ls_desc),
+                                    jnp.asarray(kf.ls_desc)),
+            mask, 0.9)
+        idx = np.asarray(res.idx)
+        if (idx >= 0).sum() < 3:
+            return None
+        sobs = np.zeros((nl, 2), np.float32)
+        eobs = np.zeros((nl, 2), np.float32)
+        le = np.zeros((nl, 3), np.float32)
+        lval = np.zeros(nl, bool)
+        for i1, i2 in enumerate(idx):
+            if i2 < 0:
+                continue
+            sp, ep = kf.ls_sp[i2], kf.ls_ep[i2]
+            lo = np.cross(np.append(sp, 1.0), np.append(ep, 1.0))
+            nrm = np.hypot(lo[0], lo[1])
+            if nrm < 1e-9:
+                continue
+            sobs[i1], eobs[i1], le[i1] = sp, ep, lo / nrm
+            lval[i1] = True
+        return TrackedLines(
+            sP=jnp.asarray(old.ls_sP), eP=jnp.asarray(old.ls_eP),
+            sp=jnp.asarray(old.ls_sp), ep=jnp.asarray(old.ls_ep),
+            NDc=jnp.asarray(old.ls_NDc), sobs=jnp.asarray(sobs),
+            eobs=jnp.asarray(eobs), le_obs=jnp.asarray(le),
+            sigma2=jnp.asarray(old.ls_sigma2),
+            valid=jnp.asarray(lval), inlier=jnp.asarray(lval))
 
     # -- pose-graph correction + fusion (:5301-5531, :5533-5807) -----------
 

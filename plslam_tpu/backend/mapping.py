@@ -58,6 +58,8 @@ class MapConfig:
     plucker_lines: bool = True
     min_pt_matches: int = 10      # windowed->global fallback gate :277-281
     has_refinement: bool = False  # SlamConfig::hasRefinement :937-977
+    cull_kf_every: int = 0        # run removeRedundantKFs every N KFs
+    max_common_fts_kf: float = 0.9  # :3899 shared-landmark ratio
     local_ba_kf: int = 16         # padded local-KF capacity for the BA
     ba_points: int = 1024         # padded BA landmark capacities
     ba_lines: int = 256
@@ -234,6 +236,9 @@ class MapHandler:
         if run_ba:
             self.local_bundle_adjustment()
         self.cull_landmarks()
+        if (self.cfg.cull_kf_every > 0
+                and kf.id % self.cfg.cull_kf_every == 0):
+            self.cull_redundant_keyframes(self.cfg.max_common_fts_kf)
         return kf
 
     # -- association ------------------------------------------------------

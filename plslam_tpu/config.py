@@ -199,6 +199,7 @@ class PLSLAMConfig:
             use_lines=self.has_lines,
             plucker_lines=self.use_line_plucker,
             min_pt_matches=self.min_pt_matches,
+            max_common_fts_kf=self.max_common_fts_kf,
         )
 
     def loop_cfg(self):
