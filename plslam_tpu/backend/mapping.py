@@ -75,20 +75,24 @@ class KeyframeRecord:
         self.id = kf_id
         self.active = True
         self.T_w_k = pose.astype(np.float64)        # camera -> world
-        self.pt_uv = np.asarray(feats.points.uv)
-        self.pt_P = np.asarray(feats.points.P)
-        self.pt_desc = np.asarray(feats.points.desc)
-        self.pt_sigma2 = np.asarray(feats.points.sigma2)
-        self.pt_valid = np.asarray(feats.points.valid)
+        # ONE device_get for the whole feature pytree: fifteen separate
+        # np.asarray transfers cost ~300 ms/KF in per-transfer latency on
+        # the remote runtime
+        f = jax.device_get(feats)
+        self.pt_uv = np.asarray(f.points.uv)
+        self.pt_P = np.asarray(f.points.P)
+        self.pt_desc = np.asarray(f.points.desc)
+        self.pt_sigma2 = np.asarray(f.points.sigma2)
+        self.pt_valid = np.asarray(f.points.valid)
         self.pt_lm = np.full(len(self.pt_uv), -1, np.int64)
-        self.ls_sp = np.asarray(feats.lines.sp)
-        self.ls_ep = np.asarray(feats.lines.ep)
-        self.ls_sP = np.asarray(feats.lines.sP)
-        self.ls_eP = np.asarray(feats.lines.eP)
-        self.ls_NDc = np.asarray(feats.lines.NDc)
-        self.ls_desc = np.asarray(feats.lines.desc)
-        self.ls_sigma2 = np.asarray(feats.lines.sigma2)
-        self.ls_valid = np.asarray(feats.lines.valid)
+        self.ls_sp = np.asarray(f.lines.sp)
+        self.ls_ep = np.asarray(f.lines.ep)
+        self.ls_sP = np.asarray(f.lines.sP)
+        self.ls_eP = np.asarray(f.lines.eP)
+        self.ls_NDc = np.asarray(f.lines.NDc)
+        self.ls_desc = np.asarray(f.lines.desc)
+        self.ls_sigma2 = np.asarray(f.lines.sigma2)
+        self.ls_valid = np.asarray(f.lines.valid)
         self.ls_lm = np.full(len(self.ls_sp), -1, np.int64)
 
 
@@ -176,6 +180,51 @@ class SlamMap:
 
 
 import functools
+
+
+def _np_transform_plucker(T: np.ndarray, L: np.ndarray) -> np.ndarray:
+    """Host-side Pluecker transform (matches core.plucker.transform_plucker:
+    n' = R n + t x (R d); d' = R d).  The map-maintenance loops run this
+    per landmark; an eager device op per call (~0.4 s/op on the axon
+    tunnel, verify SKILL.md) made mapping dispatch-bound."""
+    R, t = T[:3, :3], T[:3, 3]
+    n = L[..., :3] @ R.T
+    d = L[..., 3:] @ R.T
+    return np.concatenate([n + np.cross(t, d), d], axis=-1)
+
+
+def _np_normalize_plucker(L: np.ndarray) -> np.ndarray:
+    dn = np.linalg.norm(L[..., 3:], axis=-1, keepdims=True)
+    return L / np.where(dn > 1e-12, dn, 1.0)
+
+
+_hamming_jit = jax.jit(hamming_distance_matrix)
+_orth_batch = jax.jit(jax.vmap(plucker_to_orth))
+_plucker_from_orth_batch = jax.jit(jax.vmap(orth_to_plucker))
+
+
+def _pad_bucket(n: int, lo: int = 256) -> int:
+    """Round a dynamic candidate count up to a power-of-two bucket so the
+    jitted matchers compile O(log N) distinct shapes instead of one fresh
+    program per keyframe (remote compiles cost seconds on this runtime)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    if len(a) >= n:
+        return a[:n]
+    pad = np.zeros((n - len(a),) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad])
+
+
+def _np_hamming(descs: np.ndarray) -> np.ndarray:
+    """Tiny all-pairs Hamming in numpy (per-landmark descriptor election
+    runs on a handful of observations; device dispatch would dominate)."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)
+    return (bits[:, None, :] != bits[None, :, :]).sum(-1)
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7))
@@ -309,9 +358,8 @@ class MapHandler:
             if lm < 0:
                 # lift the prev-KF camera-frame Pluecker line to world and
                 # renormalize ||d||=1 (mapHandler.cpp:451-459)
-                Lw = np.asarray(transform_plucker(
-                    jnp.asarray(prev.T_w_k), jnp.asarray(prev.ls_NDc[i1])))
-                Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+                Lw = _np_normalize_plucker(
+                    _np_transform_plucker(prev.T_w_k, prev.ls_NDc[i1]))
                 if not self._line_chi2_ok(Lw, kf, i2):
                     continue
                 R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
@@ -400,20 +448,22 @@ class MapHandler:
                 if mp.pt_valid[i] and i not in already
                 and any(local_kf[k] for k, _ in mp.pt_obs[i])]
         if cand:
-            Pw = mp.pt_w[cand]
+            nb = _pad_bucket(len(cand))
+            Pw = _pad_rows(mp.pt_w[cand], nb)
+            cvalid = np.arange(nb) < len(cand)
             proj, depth = _project_points(jnp.asarray(T_c_w), jnp.asarray(Pw), self.cam)
             proj = np.asarray(proj)
             depth = np.asarray(depth)
-            inside = ((depth > 0)
+            inside = (cvalid & (depth > 0)
                       & (proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
                       & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height))
             free = kf.pt_valid & (kf.pt_lm < 0)
             m = _match_projected(
-                jnp.asarray(mp.pt_desc[cand]), jnp.asarray(proj),
+                jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)), jnp.asarray(proj),
                 jnp.asarray(inside),
                 jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
                 jnp.asarray(free), self.cfg.match_window, self.cfg.nnr)
-            idx = np.asarray(m.idx)
+            idx = np.asarray(m.idx)[: len(cand)]
             shared = 0
             for ci, i2 in enumerate(idx):
                 if i2 < 0:
@@ -434,13 +484,15 @@ class MapHandler:
                 if mp.ls_valid[i] and i not in already_l
                 and any(local_kf[k] for k, _ in mp.ls_obs[i])]
         if cand:
-            Lw = mp.ls_w[cand]
+            nb = _pad_bucket(len(cand))
+            Lw = _pad_rows(mp.ls_w[cand], nb)
             l_img, Lc = _project_lines(jnp.asarray(T_c_w), jnp.asarray(Lw), self.cam)
-            l_img = np.asarray(l_img)
+            l_img = np.asarray(l_img)[: len(cand)]
             free = kf.ls_valid & (kf.ls_lm < 0)
             # match by descriptor with distance-to-projected-line gate
-            dist_mat = np.asarray(hamming_distance_matrix(
-                jnp.asarray(mp.ls_desc[cand]), jnp.asarray(kf.ls_desc)))
+            dist_mat = np.asarray(_hamming_jit(
+                jnp.asarray(_pad_rows(mp.ls_desc[cand], nb)),
+                jnp.asarray(kf.ls_desc)))[: len(cand)]
             for ci in range(len(cand)):
                 ln = l_img[ci]
                 nrm = np.hypot(ln[0], ln[1])
@@ -469,9 +521,8 @@ class MapHandler:
         if self.cfg.use_lines:
             for i in range(len(kf.ls_valid)):
                 if kf.ls_valid[i] and kf.ls_lm[i] < 0:
-                    Lw = np.asarray(transform_plucker(
-                        jnp.asarray(kf.T_w_k), jnp.asarray(kf.ls_NDc[i])))
-                    Lw = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+                    Lw = _np_normalize_plucker(
+                        _np_transform_plucker(kf.T_w_k, kf.ls_NDc[i]))
                     R, t = kf.T_w_k[:3, :3], kf.T_w_k[:3, 3]
                     ep_w = np.stack([R @ kf.ls_sP[i] + t,
                                      R @ kf.ls_eP[i] + t])
@@ -498,7 +549,7 @@ class MapHandler:
 
     def _line_chi2_ok(self, Lw, kf: KeyframeRecord, feat_idx) -> bool:
         T_c_w = np.linalg.inv(kf.T_w_k)
-        Lc = np.asarray(transform_plucker(jnp.asarray(T_c_w), jnp.asarray(Lw)))
+        Lc = _np_transform_plucker(T_c_w, np.asarray(Lw))
         K_L = np.asarray(self.cam.plucker_K)
         l = K_L @ Lc[:3]
         nrm = np.hypot(l[0], l[1])
@@ -558,13 +609,16 @@ class MapHandler:
         lines_scale = np.ones(cfg.ba_lines, dtype)
         line_valid = np.zeros(cfg.ba_lines, bool)
         ep_base = len(pt_ids)  # first endpoint slot in the point table
-        if cfg.plucker_lines:
+        if cfg.plucker_lines and ls_ids:
+            # one batched device call for ALL orth conversions (a per-line
+            # eager op would be dispatch-bound on the remote TPU)
+            Lws = mp.ls_w[ls_ids]
+            scales = np.linalg.norm(Lws, axis=-1)
+            orths = np.asarray(_orth_batch(
+                jnp.asarray(Lws / scales[:, None])))
             for p, s in lslot.items():
-                Lw = mp.ls_w[p]
-                scale = np.linalg.norm(Lw)
-                lines_scale[s] = scale
-                lines_orth[s] = np.asarray(
-                    plucker_to_orth(jnp.asarray(Lw / scale)))
+                lines_scale[s] = scales[s]
+                lines_orth[s] = orths[s]
                 line_valid[s] = True
         else:
             for p, s in lslot.items():
@@ -676,19 +730,24 @@ class MapHandler:
 
     def _write_back(self, res: ba_mod.BAResult, meta):
         mp = self.map
-        T_c_w = np.asarray(res.problem.T_c_w)
+        # fetch only the leaves write-back consumes, in one transfer
+        (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
+            (res.problem.T_c_w, res.problem.points, res.problem.lines_orth,
+             res.problem.lines_scale, res.p_active, res.l_active))
         for s, kfid in enumerate(meta["local_ids"]):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T_c_w[s], np.float64))
-        points = np.asarray(res.problem.points)
+        points = np.asarray(points)
         for s, p in enumerate(meta["pt_ids"]):
             mp.pt_w[p] = points[s]
         if meta.get("plucker", True):
-            orth = np.asarray(res.problem.lines_orth)
-            scale = np.asarray(res.problem.lines_scale)
-            for s, p in enumerate(meta["ls_ids"]):
-                Lw = np.asarray(orth_to_plucker(jnp.asarray(orth[s]))) * scale[s]
-                mp.ls_w[p] = np.asarray(normalize_plucker(jnp.asarray(Lw)))
+            if meta["ls_ids"]:
+                nls = len(meta["ls_ids"])
+                Lws = np.asarray(_plucker_from_orth_batch(
+                    jnp.asarray(orth[:nls]))) * scale[:nls, None]
+                Lws = _np_normalize_plucker(Lws)
+                for s, p in enumerate(meta["ls_ids"]):
+                    mp.ls_w[p] = Lws[s]
         else:
             # endpoint mode: optimized endpoints come back through the
             # point table; refresh the Pluecker form (n = sP x eP,
@@ -705,7 +764,7 @@ class MapHandler:
                     mp.ls_w[p] = np.concatenate([np.cross(sP, eP) / nd,
                                                  d / nd])
         # prune gated-out observations (:6154-6293)
-        p_active = np.asarray(res.p_active)
+        p_active = np.asarray(p_active)
         for n, (p, kfid, fi) in enumerate(meta["obs_refs_p"]):
             if not p_active[n]:
                 try:
@@ -713,7 +772,7 @@ class MapHandler:
                     mp.keyframes[kfid].pt_lm[fi] = -1
                 except ValueError:
                     pass
-        l_active = np.asarray(res.l_active)
+        l_active = np.asarray(l_active)
         for n, ref in enumerate(meta["obs_refs_l"]):
             if meta.get("plucker", True):
                 p, kfid, fi = ref
@@ -758,8 +817,7 @@ class MapHandler:
                 continue
             descs = np.stack([self.map.keyframes[k].pt_desc[fi]
                               for k, fi in obs])
-            D = np.asarray(hamming_distance_matrix(
-                jnp.asarray(descs), jnp.asarray(descs)))
+            D = _np_hamming(descs)
             mp.pt_desc[lm] = descs[int(D.sum(1).argmin())]
         for lm in range(len(mp.ls_valid)):
             obs = mp.ls_obs[lm]
@@ -767,8 +825,7 @@ class MapHandler:
                 continue
             descs = np.stack([self.map.keyframes[k].ls_desc[fi]
                               for k, fi in obs])
-            D = np.asarray(hamming_distance_matrix(
-                jnp.asarray(descs), jnp.asarray(descs)))
+            D = _np_hamming(descs)
             mp.ls_desc[lm] = descs[int(D.sum(1).argmin())]
 
     def cull_redundant_keyframes(self, max_common: float = 0.9):

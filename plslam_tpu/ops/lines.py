@@ -111,6 +111,10 @@ def detect_segments(img: jax.Array, cfg: LineDetectorConfig = LineDetectorConfig
         v = v[: TH * t, : TW * t]
         return v.reshape(TH, t, TW, t, O).sum(axis=(1, 3))
 
+    # NOTE: six separate cellsum calls measure FASTER than one stacked
+    # (6, H, W, O) reduction (3.80 vs 4.33 ms for the 2-image stack):
+    # XLA fuses each product into its reduction without materializing the
+    # stacked intermediate.
     S = cellsum(w)
     Sx = cellsum(w * xx[..., None])
     Sy = cellsum(w * yy[..., None])
