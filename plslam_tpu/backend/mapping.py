@@ -262,6 +262,46 @@ class MapHandler:
         self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
         self._refine_jit = None  # built lazily (has_refinement only)
 
+        # Fused association programs: each remote dispatch/fetch costs
+        # ~10-30 ms here, so KF2KF and Map2KF run as ONE program + ONE
+        # device_get each instead of per-modality chains.
+        cam_, win_, nnr_ = self.cam, self.cfg.match_window, self.cfg.nnr
+
+        def _kf2kf_prog(T_rel, pP, pdesc, pvalid, kdesc, kuv, kvalid,
+                        pls_desc, pls_mid, pls_valid,
+                        kls_desc, kls_mid, kls_valid):
+            Pc = lie.transform_point(T_rel, pP)
+            proj = cam_.project(Pc)
+            ok_prev = pvalid & (Pc[..., 2] > 0)
+            mask_w = M.window_pair_mask(proj, kuv, ok_prev, kvalid,
+                                        win_, win_)
+            m_w = M.match_descriptors(pdesc, kdesc, mask_w, nnr_)
+            # global fallback candidates computed in the same pass
+            mask_g = ok_prev[:, None] & kvalid[None, :]
+            m_g = M.match_descriptors(pdesc, kdesc, mask_g, nnr_)
+            lmask = M.window_pair_mask(pls_mid, kls_mid, pls_valid,
+                                       kls_valid, win_ * 2.0, win_ * 2.0)
+            m_l = M.match_descriptors(pls_desc, kls_desc, lmask, nnr_)
+            return m_w.idx, m_g.idx, m_l.idx
+
+        self._kf2kf_prog = jax.jit(_kf2kf_prog)
+
+        def _map2kf_prog(T_c_w, candP, cand_desc, cand_valid,
+                         kdesc, kuv, kfree, candL, lcand_desc, kls_desc):
+            Pc = lie.transform_point(T_c_w, candP)
+            proj = cam_.project(Pc)
+            inside = (cand_valid & (Pc[..., 2] > 0)
+                      & (proj[..., 0] >= 0) & (proj[..., 0] < cam_.width)
+                      & (proj[..., 1] >= 0) & (proj[..., 1] < cam_.height))
+            mask = M.window_pair_mask(proj, kuv, inside, kfree, win_, win_)
+            m = M.match_descriptors(cand_desc, kdesc, mask, nnr_)
+            Lc = transform_plucker(T_c_w, candL)
+            l_img = jnp.einsum("ij,nj->ni", cam_.plucker_K, Lc[..., :3])
+            dists = hamming_distance_matrix(lcand_desc, kls_desc)
+            return m.idx, proj, l_img, dists
+
+        self._map2kf_prog = jax.jit(_map2kf_prog)
+
     # -- public API (mapHandler.cpp initialize :50 / addKeyFrame :121) ----
 
     def initialize(self, pose: np.ndarray, feats: StereoFeatures):
@@ -299,24 +339,20 @@ class MapHandler:
         T_c_w_new = np.linalg.inv(kf.T_w_k)
         T_rel = T_c_w_new @ prev.T_w_k  # prev-cam -> new-cam
 
-        # points
-        proj, depth = _project_points(
-            jnp.asarray(T_rel), jnp.asarray(prev.pt_P), self.cam)
-        proj = np.asarray(proj)
-        ok_prev = prev.pt_valid & (np.asarray(depth) > 0)
-        m = _match_projected(
-            jnp.asarray(prev.pt_desc), jnp.asarray(proj), jnp.asarray(ok_prev),
+        # one device program + one fetch for both modalities
+        idx_w, idx_g, idx_l = jax.device_get(self._kf2kf_prog(
+            jnp.asarray(T_rel, jnp.float32), jnp.asarray(prev.pt_P),
+            jnp.asarray(prev.pt_desc), jnp.asarray(prev.pt_valid),
             jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
-            jnp.asarray(kf.pt_valid), self.cfg.match_window, self.cfg.nnr)
-        idx = np.asarray(m.idx)
+            jnp.asarray(kf.pt_valid),
+            jnp.asarray(prev.ls_desc),
+            jnp.asarray(0.5 * (prev.ls_sp + prev.ls_ep)),
+            jnp.asarray(prev.ls_valid),
+            jnp.asarray(kf.ls_desc),
+            jnp.asarray(0.5 * (kf.ls_sp + kf.ls_ep)),
+            jnp.asarray(kf.ls_valid)))
         # windowed -> global fallback when too few matches (:277-281)
-        if (idx >= 0).sum() < self.cfg.min_pt_matches:
-            m = _match_projected(
-                jnp.asarray(prev.pt_desc), jnp.asarray(proj),
-                jnp.asarray(ok_prev), jnp.asarray(kf.pt_desc),
-                jnp.asarray(kf.pt_uv), jnp.asarray(kf.pt_valid),
-                1e9, self.cfg.nnr)
-            idx = np.asarray(m.idx)
+        idx = idx_w if (idx_w >= 0).sum() >= self.cfg.min_pt_matches else idx_g
         shared = 0
         for i1, i2 in enumerate(idx):
             if i2 < 0:
@@ -337,19 +373,8 @@ class MapHandler:
 
         if not self.cfg.use_lines:
             return
-        # lines
-        l_img, _ = _project_lines(
-            jnp.asarray(T_rel),
-            jnp.asarray(self._prev_lines_world_in(prev, prev)), self.cam)
-        m = _match_projected(
-            jnp.asarray(prev.ls_desc),
-            jnp.asarray(0.5 * (prev.ls_sp + prev.ls_ep)),
-            jnp.asarray(prev.ls_valid),
-            jnp.asarray(kf.ls_desc),
-            jnp.asarray(0.5 * (kf.ls_sp + kf.ls_ep)),
-            jnp.asarray(kf.ls_valid),
-            self.cfg.match_window * 2.0, self.cfg.nnr)
-        idx = np.asarray(m.idx)
+        # lines (matched in the same fused program above)
+        idx = idx_l
         shared_l = 0
         for i1, i2 in enumerate(idx):
             if i2 < 0:
@@ -447,25 +472,37 @@ class MapHandler:
         cand = [i for i in range(len(mp.pt_valid))
                 if mp.pt_valid[i] and i not in already
                 and any(local_kf[k] for k, _ in mp.pt_obs[i])]
+        use_lines = self.cfg.use_lines
+        already_l = set(kf.ls_lm[kf.ls_lm >= 0].tolist()) if use_lines else set()
+        cand_l = ([i for i in range(len(mp.ls_valid))
+                   if mp.ls_valid[i] and i not in already_l
+                   and any(local_kf[k] for k, _ in mp.ls_obs[i])]
+                  if use_lines else [])
+        if not cand and not cand_l:
+            return
+
+        # one fused program + one fetch for both modalities
+        nb = _pad_bucket(len(cand))
+        nbl = _pad_bucket(len(cand_l), lo=64)
+        cvalid = np.arange(nb) < len(cand)
+        free = kf.pt_valid & (kf.pt_lm < 0)
+        idx, proj, l_img, dist_mat = jax.device_get(self._map2kf_prog(
+            jnp.asarray(T_c_w, jnp.float32),
+            jnp.asarray(_pad_rows(mp.pt_w[cand], nb)
+                        if cand else np.zeros((nb, 3))),
+            jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)
+                        if cand else np.zeros((nb, 8), np.uint32)),
+            jnp.asarray(cvalid),
+            jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
+            jnp.asarray(free),
+            jnp.asarray(_pad_rows(mp.ls_w[cand_l], nbl)
+                        if cand_l else np.zeros((nbl, 6))),
+            jnp.asarray(_pad_rows(mp.ls_desc[cand_l], nbl)
+                        if cand_l else np.zeros((nbl, 8), np.uint32)),
+            jnp.asarray(kf.ls_desc)))
         if cand:
-            nb = _pad_bucket(len(cand))
-            Pw = _pad_rows(mp.pt_w[cand], nb)
-            cvalid = np.arange(nb) < len(cand)
-            proj, depth = _project_points(jnp.asarray(T_c_w), jnp.asarray(Pw), self.cam)
-            proj = np.asarray(proj)
-            depth = np.asarray(depth)
-            inside = (cvalid & (depth > 0)
-                      & (proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
-                      & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height))
-            free = kf.pt_valid & (kf.pt_lm < 0)
-            m = _match_projected(
-                jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)), jnp.asarray(proj),
-                jnp.asarray(inside),
-                jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
-                jnp.asarray(free), self.cfg.match_window, self.cfg.nnr)
-            idx = np.asarray(m.idx)[: len(cand)]
             shared = 0
-            for ci, i2 in enumerate(idx):
+            for ci, i2 in enumerate(idx[: len(cand)]):
                 if i2 < 0:
                     continue
                 # epipolar-style gate: projected distance (:778)
@@ -477,22 +514,11 @@ class MapHandler:
                 shared += 1
             self._bump_covis(kf, shared)
 
-        if not self.cfg.use_lines:
-            return
-        already_l = set(kf.ls_lm[kf.ls_lm >= 0].tolist())
-        cand = [i for i in range(len(mp.ls_valid))
-                if mp.ls_valid[i] and i not in already_l
-                and any(local_kf[k] for k, _ in mp.ls_obs[i])]
-        if cand:
-            nb = _pad_bucket(len(cand))
-            Lw = _pad_rows(mp.ls_w[cand], nb)
-            l_img, Lc = _project_lines(jnp.asarray(T_c_w), jnp.asarray(Lw), self.cam)
-            l_img = np.asarray(l_img)[: len(cand)]
+        if cand_l:
+            l_img = l_img[: len(cand_l)]
+            dist_mat = dist_mat[: len(cand_l)]
+            cand = cand_l
             free = kf.ls_valid & (kf.ls_lm < 0)
-            # match by descriptor with distance-to-projected-line gate
-            dist_mat = np.asarray(_hamming_jit(
-                jnp.asarray(_pad_rows(mp.ls_desc[cand], nb)),
-                jnp.asarray(kf.ls_desc)))[: len(cand)]
             for ci in range(len(cand)):
                 ln = l_img[ci]
                 nrm = np.hypot(ln[0], ln[1])
