@@ -99,7 +99,7 @@ def fast_score_nms_batch(imgs: jax.Array, threshold,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((None, _ROWS, W), lambda b, i, *_: (b, i, 0),
                              memory_space=pltpu.VMEM),
