@@ -43,12 +43,13 @@ def main():
     slam = PLSLAM(cam, cfg, MapConfig(local_ba_kf=8, ba_points=2048,
                                       ba_lines=256, ba_pobs=8192,
                                       ba_lobs=2048))
+    DT = 0.05  # frame period used for both timestamps and gt lookup
     poses_gt = circular_trajectory(n_frames, step_t=0.12, step_r=0.015)
     t0 = time.time()
     for i, T in enumerate(poses_gt):
         il, ir = scene.render_stereo(T)
         res = slam.process(jnp.asarray(il), jnp.asarray(ir),
-                           timestamp=0.05 * i)
+                           timestamp=DT * i)
         if res is not None:
             print(f"frame {i:3d}: inliers={int(res.n_inliers):3d} "
                   f"err={float(res.err):.3f} kf={bool(res.is_kf)}")
@@ -57,7 +58,7 @@ def main():
 
     kf_pos = np.stack([T[:3, 3] for T in traj])
     gt_pos = np.stack(
-        [poses_gt[int(round(t / 0.05))][:3, 3] for t in slam.kf_timestamps])
+        [poses_gt[int(round(t / DT))][:3, 3] for t in slam.kf_timestamps])
     print(f"\n{len(traj)} keyframes in {dt:.1f}s; "
           f"ATE RMSE (aligned) = {ate_rmse(kf_pos, gt_pos, align=True):.4f} m")
 

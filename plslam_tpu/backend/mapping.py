@@ -198,7 +198,6 @@ def _np_normalize_plucker(L: np.ndarray) -> np.ndarray:
     return L / np.where(dn > 1e-12, dn, 1.0)
 
 
-_hamming_jit = jax.jit(hamming_distance_matrix)
 _orth_batch = jax.jit(jax.vmap(plucker_to_orth))
 _plucker_from_orth_batch = jax.jit(jax.vmap(orth_to_plucker))
 
@@ -227,27 +226,6 @@ def _np_hamming(descs: np.ndarray) -> np.ndarray:
     return (bits[:, None, :] != bits[None, :, :]).sum(-1)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _match_projected(desc1, xy1, valid1, desc2, xy2, valid2, window, nnr):
-    """Descriptor matching constrained to a projected pixel window
-    (matchKF2KF* grid matching semantics, :253-281)."""
-    mask = M.window_pair_mask(xy1, xy2, valid1, valid2, window, window)
-    return M.match_descriptors(desc1, desc2, mask, float(nnr))
-
-
-@jax.jit
-def _project_points(T_c_w, Pw, cam: StereoCamera):
-    Pc = lie.transform_point(T_c_w, Pw)
-    return cam.project(Pc), Pc[..., 2]
-
-
-@jax.jit
-def _project_lines(T_c_w, Lw, cam: StereoCamera):
-    Lc = transform_plucker(T_c_w, Lw)
-    l_img = jnp.einsum("ij,nj->ni", cam.plucker_K, Lc[..., :3])
-    return l_img, Lc
-
-
 class MapHandler:
     """Host orchestrator of keyframe insertion and local BA."""
 
@@ -266,6 +244,7 @@ class MapHandler:
         # ~10-30 ms here, so KF2KF and Map2KF run as ONE program + ONE
         # device_get each instead of per-modality chains.
         cam_, win_, nnr_ = self.cam, self.cfg.match_window, self.cfg.nnr
+        use_lines_ = self.cfg.use_lines
 
         def _kf2kf_prog(T_rel, pP, pdesc, pvalid, kdesc, kuv, kvalid,
                         pls_desc, pls_mid, pls_valid,
@@ -279,6 +258,8 @@ class MapHandler:
             # global fallback candidates computed in the same pass
             mask_g = ok_prev[:, None] & kvalid[None, :]
             m_g = M.match_descriptors(pdesc, kdesc, mask_g, nnr_)
+            if not use_lines_:  # static: line work dropped at trace time
+                return m_w.idx, m_g.idx, None
             lmask = M.window_pair_mask(pls_mid, kls_mid, pls_valid,
                                        kls_valid, win_ * 2.0, win_ * 2.0)
             m_l = M.match_descriptors(pls_desc, kls_desc, lmask, nnr_)
@@ -295,6 +276,8 @@ class MapHandler:
                       & (proj[..., 1] >= 0) & (proj[..., 1] < cam_.height))
             mask = M.window_pair_mask(proj, kuv, inside, kfree, win_, win_)
             m = M.match_descriptors(cand_desc, kdesc, mask, nnr_)
+            if not use_lines_:
+                return m.idx, proj, None, None
             Lc = transform_plucker(T_c_w, candL)
             l_img = jnp.einsum("ij,nj->ni", cam_.plucker_K, Lc[..., :3])
             dists = hamming_distance_matrix(lcand_desc, kls_desc)
@@ -397,9 +380,6 @@ class MapHandler:
             kf.ls_lm[i2] = lm
             shared_l += 1
         self._bump_covis(kf, shared_l)
-
-    def _prev_lines_world_in(self, prev, frame):
-        return prev.ls_NDc
 
     def _refine_kf_pose(self, kf: KeyframeRecord):
         """hasRefinement (:937-977): re-run the StVO robust pose optimizer
@@ -537,6 +517,7 @@ class MapHandler:
                     continue
                 self.map.add_line_obs(cand[ci], kf.id, i2)
                 kf.ls_lm[i2] = cand[ci]
+                free[i2] = False  # a feature feeds at most one landmark
 
     def _spawn_landmarks(self, kf: KeyframeRecord):
         """Unmatched stereo features of the newest KF seed new landmarks."""
