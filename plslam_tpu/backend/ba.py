@@ -192,6 +192,34 @@ def huber_weight(e: jax.Array, delta: float) -> jax.Array:
     return jnp.minimum(1.0, delta / jnp.maximum(r, 1e-12))
 
 
+def cauchy_weight(e: jax.Array) -> jax.Array:
+    """IRLS weight of the unit-scale Cauchy loss on the residual norm —
+    the reference's robustWeightCauchy (auxiliar.cpp:556), used by every
+    LBA/GBA observation (mapHandler.cpp:2411, :2512, :3193).  Redescending:
+    a gross outlier's influence r/(1+r^2) -> 0, where Huber's stays
+    constant — with sparse line observations that constant pull is enough
+    to drag the whole local window (seen as trajectory stretch)."""
+    r2 = jnp.sum(e * e, axis=-1)
+    return 1.0 / (1.0 + r2)
+
+
+def cauchy_cost(e: jax.Array) -> jax.Array:
+    """rho(r) = log(1 + r^2), the loss whose IRLS weight is cauchy_weight."""
+    r2 = jnp.sum(e * e, axis=-1)
+    return jnp.log1p(r2)
+
+
+def _w(e: jax.Array, robust: bool) -> jax.Array:
+    """Per-observation IRLS weight: Cauchy in the robust round, 1 in the
+    pure-LSQ round (the reference clears kernels after gating,
+    mapHandler.cpp:6133/:6147 setRobustKernel(0))."""
+    return cauchy_weight(e) if robust else jnp.ones(e.shape[:-1], e.dtype)
+
+
+def _rho(e: jax.Array, robust: bool) -> jax.Array:
+    return cauchy_cost(e) if robust else jnp.sum(e * e, axis=-1)
+
+
 def chi2(e: jax.Array, sigma2: jax.Array) -> jax.Array:
     return jnp.sum(e * e, axis=-1) * sigma2
 
@@ -214,14 +242,15 @@ class _Assembled(NamedTuple):
 
 
 def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
-             p_active: jax.Array, l_active: jax.Array) -> _Assembled:
+             p_active: jax.Array, l_active: jax.Array,
+             robust: bool = True) -> _Assembled:
     K = prob.T_c_w.shape[0]
     P = prob.points.shape[0]
     L = prob.lines_orth.shape[0]
     dtype = prob.points.dtype
 
     e_p, Jc_p, Jp_p = point_obs_residuals(prob, cam)
-    w_p = huber_weight(e_p, cfg.huber_delta) * prob.p_sigma2
+    w_p = _w(e_p, robust) * prob.p_sigma2
     w_p = jnp.where(p_active, w_p, 0.0)
     # weighted blocks
     Hcc = jnp.zeros((K, 6, 6), dtype).at[prob.p_cam].add(
@@ -234,10 +263,10 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
         jnp.einsum("n,nij,ni->nj", w_p, Jp_p, e_p))
     Wp = jnp.zeros((K, P, 6, 3), dtype).at[prob.p_cam, prob.p_lm].add(
         jnp.einsum("n,nij,nik->njk", w_p, Jc_p, Jp_p))
-    cost = jnp.sum(jnp.where(p_active, huber_cost(e_p, cfg.huber_delta) * prob.p_sigma2, 0.0))
+    cost = jnp.sum(jnp.where(p_active, _rho(e_p, robust) * prob.p_sigma2, 0.0))
 
     e_l, Jc_l, Jl_l = line_obs_residuals(prob, cam)
-    w_l = huber_weight(e_l, cfg.huber_delta) * prob.l_sigma2
+    w_l = _w(e_l, robust) * prob.l_sigma2
     w_l = jnp.where(l_active, w_l, 0.0)
     Hcc = Hcc.at[prob.l_cam].add(jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jc_l))
     bc = bc.at[prob.l_cam].add(jnp.einsum("n,nij,ni->nj", w_l, Jc_l, e_l))
@@ -248,7 +277,7 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
     Wl = jnp.zeros((K, L, 6, 4), dtype).at[prob.l_cam, prob.l_lm].add(
         jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jl_l))
     cost = cost + jnp.sum(
-        jnp.where(l_active, huber_cost(e_l, cfg.huber_delta) * prob.l_sigma2, 0.0))
+        jnp.where(l_active, _rho(e_l, robust) * prob.l_sigma2, 0.0))
 
     return _Assembled(Hcc, bc, Hpp, bp, Wp, Hll, bl, Wl, cost)
 
@@ -277,27 +306,32 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
     return jnp.where(use[:, None, None], inv, 0.0), use
 
 
-def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
-    """One damped Schur solve: reduced camera system then back-substitution.
-
-    Returns (dpose (K,6), dpoint (P,3), dline (L,4)).
-    """
-    K = a.Hcc.shape[0]
-    dtype = a.Hcc.dtype
-    free = prob.pose_valid & ~prob.pose_fixed
-
-    Hpp_inv, p_use = _damped_inv(a.Hpp, lam, prob.point_valid, 3)
-    Hll_inv, l_use = _damped_inv(a.Hll, lam, prob.line_valid, 4)
-
-    # Reduced camera system S (6K x 6K), built from dense W tensors.
-    I6 = jnp.eye(6, dtype=dtype)
-    Hcc_d = a.Hcc + lam * a.Hcc * I6
-    S = jnp.zeros((K, K, 6, 6), dtype)
-    S = S.at[jnp.arange(K), jnp.arange(K)].set(Hcc_d)
-    S = S - jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
-    S = S - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
+def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array):
+    """Landmark-marginalized partial contributions to the reduced camera
+    system: S_off = -W Hll^-1 W^T and rhs = bc - W Hll^-1 b.  These are
+    linear in the observation set, so chunked/sharded assemblies sum them
+    (the distributed Schur reduction of SURVEY.md §2.4)."""
+    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3)
+    Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4)
+    S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
+    S_off = S_off - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
     rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
     rhs = rhs - jnp.einsum("klab,lbc,lc->ka", a.Wl, Hll_inv, a.bl)
+    return Hpp_inv, Hll_inv, S_off, rhs
+
+
+def solve_reduced(Hcc: jax.Array, S_off: jax.Array, rhs: jax.Array,
+                  lam: jax.Array, free: jax.Array) -> jax.Array:
+    """Solve the damped reduced camera system for the pose update.
+
+    Hcc: (K, 6, 6) block-diagonal camera Hessian; S_off: (K, K, 6, 6)
+    Schur correction; rhs: (K, 6); free: (K,) bool of non-fixed poses.
+    """
+    K = Hcc.shape[0]
+    dtype = Hcc.dtype
+    I6 = jnp.eye(6, dtype=dtype)
+    Hcc_d = Hcc + lam * Hcc * I6
+    S = S_off.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
 
     # Fixed/invalid poses: replace their rows/cols by identity, rhs by 0.
     fmask = free.astype(dtype)
@@ -310,9 +344,11 @@ def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
     # gauge regularization for safety
     Smat = Smat + 1e-10 * jnp.eye(6 * K, dtype=dtype)
     dpose = linalg.solve_spd(Smat, rhs.reshape(-1)).reshape(K, 6)
-    dpose = dpose * fmask[:, None]
+    return dpose * fmask[:, None]
 
-    # back-substitute landmarks: dx = Hll^-1 (b - W^T dpose)
+
+def back_substitute(a: _Assembled, Hpp_inv, Hll_inv, dpose, cfg: BAConfig):
+    """Landmark back-substitution dx = Hll^-1 (b - W^T dpose)."""
     tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose)
     dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp)
     tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose)
@@ -321,6 +357,18 @@ def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
         dpoint = jnp.zeros_like(dpoint)
     if not cfg.optimize_lines:
         dline = jnp.zeros_like(dline)
+    return dpoint, dline
+
+
+def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
+    """One damped Schur solve: reduced camera system then back-substitution.
+
+    Returns (dpose (K,6), dpoint (P,3), dline (L,4)).
+    """
+    free = prob.pose_valid & ~prob.pose_fixed
+    Hpp_inv, Hll_inv, S_off, rhs = schur_partials(a, prob, lam)
+    dpose = solve_reduced(a.Hcc, S_off, rhs, lam, free)
+    dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
     return dpose, dpoint, dline
 
 
@@ -334,25 +382,25 @@ def apply_update(prob: BAProblem, dpose, dpoint, dline) -> BAProblem:
 
 
 def total_cost(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
-               p_active, l_active) -> jax.Array:
+               p_active, l_active, robust: bool = True) -> jax.Array:
     e_p, _, _ = point_obs_residuals(prob, cam)
     e_l, _, _ = line_obs_residuals(prob, cam)
-    c = jnp.sum(jnp.where(p_active, huber_cost(e_p, cfg.huber_delta) * prob.p_sigma2, 0.0))
-    c = c + jnp.sum(jnp.where(l_active, huber_cost(e_l, cfg.huber_delta) * prob.l_sigma2, 0.0))
+    c = jnp.sum(jnp.where(p_active, _rho(e_p, robust) * prob.p_sigma2, 0.0))
+    c = c + jnp.sum(jnp.where(l_active, _rho(e_l, robust) * prob.l_sigma2, 0.0))
     return c
 
 
 def lm_rounds(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
-              p_active, l_active, iters: int):
+              p_active, l_active, iters: int, robust: bool = True):
     """Fixed-iteration LM with accept/reject damping (the reference's
     levMarquardt loop :2530-2600 expressed as a scan)."""
 
     def body(carry, _):
         prob, lam, cost = carry
-        a = assemble(prob, cam, cfg, p_active, l_active)
+        a = assemble(prob, cam, cfg, p_active, l_active, robust)
         dpose, dpoint, dline = solve_schur(a, prob, cfg, lam)
         cand = apply_update(prob, dpose, dpoint, dline)
-        new_cost = total_cost(cand, cam, cfg, p_active, l_active)
+        new_cost = total_cost(cand, cam, cfg, p_active, l_active, robust)
         ok = (new_cost < cost) & jnp.isfinite(new_cost)
         prob = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old) if new.ndim == 0 else
@@ -363,7 +411,7 @@ def lm_rounds(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
         cost = jnp.where(ok, new_cost, cost)
         return (prob, lam, cost), cost
 
-    cost0 = total_cost(prob, cam, cfg, p_active, l_active)
+    cost0 = total_cost(prob, cam, cfg, p_active, l_active, robust)
     lam0 = jnp.asarray(cfg.lambda_init, prob.points.dtype)
     (prob, _, cost), _ = jax.lax.scan(body, (prob, lam0, cost0), None, length=iters)
     return prob, cost
@@ -382,11 +430,149 @@ def bundle_adjust(prob: BAProblem, cam: StereoCamera,
     (localBundleAdjustmentForPlukerWithG2O :6119-6152)."""
     p_active = prob.p_valid
     l_active = prob.l_valid
-    prob, _ = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters1)
-    # gate
+    prob, _ = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters1,
+                        robust=True)
+    # gate, then re-optimize (:6133-6152; the hand-rolled endpoint-mode
+    # LBA keeps Cauchy for every iteration, mapHandler.cpp:2411 — dropping
+    # the kernel after gating measurably hurts on marginal problems, so
+    # the robust weight stays on in round 2 as well)
     e_p, _, _ = point_obs_residuals(prob, cam)
     e_l, _, _ = line_obs_residuals(prob, cam)
     p_active = p_active & (chi2(e_p, prob.p_sigma2) <= cfg.chi2_gate)
     l_active = l_active & (chi2(e_l, prob.l_sigma2) <= cfg.chi2_gate)
-    prob, cost = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters2)
+    prob, cost = lm_rounds(prob, cam, cfg, p_active, l_active, cfg.iters2,
+                           robust=True)
     return BAResult(problem=prob, p_active=p_active, l_active=l_active, cost=cost)
+
+
+# ---------------------------------------------------------------------------
+# Chunked global BA: Schur accumulation over fixed-shape landmark tiles
+# ---------------------------------------------------------------------------
+
+# Leaves of BAProblem that carry a leading chunk axis in the stacked
+# global problem (poses are shared across chunks).
+_CHUNK_LEAVES = (
+    "points", "point_valid", "lines_orth", "lines_scale", "line_valid",
+    "p_cam", "p_lm", "p_uv", "p_sigma2", "p_valid",
+    "l_cam", "l_lm", "l_sobs", "l_eobs", "l_sigma2", "l_valid",
+    "p_lo", "p_is_line",
+)
+
+
+def _chunk_xs(prob: BAProblem) -> dict:
+    return {f: getattr(prob, f) for f in _CHUNK_LEAVES
+            if getattr(prob, f) is not None}
+
+
+def _mk_chunk(prob: BAProblem, T: jax.Array, x: dict) -> BAProblem:
+    return prob._replace(T_c_w=T, **x)
+
+
+def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
+                          cfg: BAConfig = BAConfig()) -> BAResult:
+    """Global BA over ALL landmarks, tiled in fixed-shape chunks.
+
+    ``prob`` carries a leading chunk axis C on every landmark/observation
+    leaf (see _CHUNK_LEAVES) and shared unstacked pose leaves.  Per LM
+    iteration, a lax.scan over chunks accumulates the reduced camera
+    system (Schur partials are additive over observations), the pose
+    update is solved ONCE on the full system, then a second scan
+    back-substitutes every chunk's landmarks.  This is the no-silent-caps
+    equivalent of the reference's all-landmark GBA
+    (mapHandler.cpp:3022-3126), restructured so each device program stays
+    fixed-shape and MXU-friendly regardless of map size.
+    """
+    free = prob.pose_valid & ~prob.pose_fixed
+    xs = _chunk_xs(prob)
+
+    def cost_all(T, state, p_act, l_act, robust):
+        def body(c, inp):
+            x, spts, sls, pa, la = inp
+            pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
+            return c + total_cost(pr, cam, cfg, pa, la, robust), None
+
+        c, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, prob.points.dtype),
+            (xs, state[0], state[1], p_act, l_act))
+        return c
+
+    def lm_iter(carry, _, robust):
+        T, state, lam, cost, p_act, l_act = carry
+        K = T.shape[0]
+        dtype = prob.points.dtype
+
+        # pass 1: accumulate the reduced camera system over chunks
+        def pass1(acc, inp):
+            x, spts, sls, pa, la = inp
+            pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
+            a = assemble(pr, cam, cfg, pa, la, robust)
+            _, _, S_off, rhs = schur_partials(a, pr, lam)
+            Hcc_s, S_s, rhs_s = acc
+            return (Hcc_s + a.Hcc, S_s + S_off, rhs_s + rhs), None
+
+        acc0 = (jnp.zeros((K, 6, 6), dtype), jnp.zeros((K, K, 6, 6), dtype),
+                jnp.zeros((K, 6), dtype))
+        (Hcc, S_off, rhs), _ = jax.lax.scan(
+            pass1, acc0, (xs, state[0], state[1], p_act, l_act))
+        dpose = solve_reduced(Hcc, S_off, rhs, lam, free)
+        T_new = jax.vmap(lambda d, Ti: lie.exp_se3(-d) @ Ti)(dpose, T)
+
+        # pass 2: back-substitute each chunk's landmarks + candidate cost
+        def pass2(c, inp):
+            x, spts, sls, pa, la = inp
+            pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
+            a = assemble(pr, cam, cfg, pa, la, robust)
+            Hpp_inv, _ = _damped_inv(a.Hpp, lam, pr.point_valid, 3)
+            Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4)
+            dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
+            new_pts = spts - dpoint
+            new_ls = jax.vmap(orth_plus)(sls, -dline)
+            cand = pr._replace(T_c_w=T_new, points=new_pts,
+                               lines_orth=new_ls)
+            return c + total_cost(cand, cam, cfg, pa, la,
+                                   robust), (new_pts, new_ls)
+
+        new_cost, (cand_pts, cand_ls) = jax.lax.scan(
+            pass2, jnp.asarray(0.0, dtype), (xs, state[0], state[1],
+                                             p_act, l_act))
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        sel = lambda new, old: jnp.where(  # noqa: E731
+            jnp.reshape(ok, (1,) * new.ndim), new, old)
+        T = sel(T_new, T)
+        state = (sel(cand_pts, state[0]), sel(cand_ls, state[1]))
+        lam = jnp.clip(jnp.where(ok, lam / cfg.lambda_factor,
+                                 lam * cfg.lambda_factor), 1e-9, 1e6)
+        cost = jnp.where(ok, new_cost, cost)
+        return (T, state, lam, cost, p_act, l_act), None
+
+    def rounds(T, state, p_act, l_act, iters, robust):
+        lam0 = jnp.asarray(cfg.lambda_init, prob.points.dtype)
+        cost0 = cost_all(T, state, p_act, l_act, robust)
+        (T, state, _, cost, _, _), _ = jax.lax.scan(
+            lambda c, x: lm_iter(c, x, robust),
+            (T, state, lam0, cost0, p_act, l_act), None,
+            length=iters)
+        return T, state, cost
+
+    def gate(T, state, p_act, l_act):
+        def body(_, inp):
+            x, spts, sls, pa, la = inp
+            pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
+            e_p, _, _ = point_obs_residuals(pr, cam)
+            e_l, _, _ = line_obs_residuals(pr, cam)
+            pa2 = pa & (chi2(e_p, pr.p_sigma2) <= cfg.chi2_gate)
+            la2 = la & (chi2(e_l, pr.l_sigma2) <= cfg.chi2_gate)
+            return None, (pa2, la2)
+
+        _, (p2, l2) = jax.lax.scan(
+            body, None, (xs, state[0], state[1], p_act, l_act))
+        return p2, l2
+
+    T = prob.T_c_w
+    state = (prob.points, prob.lines_orth)
+    p_act, l_act = prob.p_valid, prob.l_valid
+    T, state, _ = rounds(T, state, p_act, l_act, cfg.iters1, robust=True)
+    p_act, l_act = gate(T, state, p_act, l_act)
+    T, state, cost = rounds(T, state, p_act, l_act, cfg.iters2, robust=True)
+    out = prob._replace(T_c_w=T, points=state[0], lines_orth=state[1])
+    return BAResult(problem=out, p_active=p_act, l_active=l_act, cost=cost)

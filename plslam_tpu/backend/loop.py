@@ -39,7 +39,9 @@ class LoopConfig:
     lc_unc: float = 0.01        # max covariance eigenvalue bound (lc_unc)
     lc_trs: float = 1.5         # max translation (lc_trs)
     lc_rot: float = 35.0        # max rotation degrees (lc_rot)
+    lc_inlier_ratio: float = 30.0  # % match ratio gate (slamConfig.cpp:83)
     min_pt_matches: int = 12
+    min_ls_matches: int = 6     # SlamConfig::minLineMatches (slamConfig:86)
     vocab_k: int = 8
     vocab_depth: int = 3
     vocabulary_file: str = ""   # pre-trained DBoW2 yml(.gz); "" = online
@@ -187,10 +189,10 @@ class LoopCloser:
         cand = self._look_for_candidates(kf.id)
         if cand is None:
             return None
-        ok, T_rel = self._verify_candidate(kf.id, cand)
+        ok, T_rel, pt_pairs, ls_pairs = self._verify_candidate(kf.id, cand)
         if not ok:
             return None
-        report = self._close(kf.id, cand, T_rel)
+        report = self._close(kf.id, cand, T_rel, pt_pairs, ls_pairs)
         self.closed_at = kf.id
         return report
 
@@ -225,9 +227,15 @@ class LoopCloser:
     # -- geometric verification (:4303-4411, :4677-5068) -------------------
 
     def _verify_candidate(self, kf_id: int, cand_id: int):
+        """isLoopClosure (:4303-4411): brute-force match both modalities,
+        apply the inlier-ratio gate (:4384-4402), then the robust GN
+        relative pose with its acceptance gates (:4988-5023).  Returns
+        (ok, DT, pt_pairs, ls_pairs) — the matched feature-index pairs
+        feed loopClosureFuseLandmarks."""
         mp = self.mapper.map
         kf = mp.keyframes[kf_id]
         old = mp.keyframes[cand_id]
+        fail = (False, None, None, None)
         # brute-force descriptor match (point modality)
         mask = jnp.asarray(old.pt_valid)[:, None] & jnp.asarray(kf.pt_valid)[None, :]
         res = M.match_mutual_nnr(
@@ -235,31 +243,51 @@ class LoopCloser:
                                     jnp.asarray(kf.pt_desc)),
             mask, 0.9)
         idx = np.asarray(res.idx)
-        pairs = [(i, j) for i, j in enumerate(idx) if j >= 0]
-        if len(pairs) < self.cfg.min_pt_matches:
-            return False, None
+        i1 = np.where(idx >= 0)[0]
+        pt_pairs = np.stack([i1, idx[i1]], axis=1) if len(i1) else \
+            np.zeros((0, 2), np.int64)
+        if len(pt_pairs) < self.cfg.min_pt_matches:
+            return fail
+        # inlier-ratio gate (:4384-4402): percentage of either KF's
+        # features recalled by the brute-force match
+        n0 = max(int(old.pt_valid.sum()), 1)
+        n1 = max(int(kf.pt_valid.sum()), 1)
+        ratio_pt = max(100.0 * len(pt_pairs) / n0, 100.0 * len(pt_pairs) / n1)
+        if ratio_pt <= self.cfg.lc_inlier_ratio:
+            return fail
+
         # robust GN relative pose: old-KF 3D points vs new-KF observations
         n = len(old.pt_valid)
         P = np.zeros((n, 3), np.float32)
         obs = np.zeros((n, 2), np.float32)
         valid = np.zeros(n, bool)
-        for i, j in pairs:
-            P[i] = old.pt_P[i]
-            obs[i] = kf.pt_uv[j]
-            valid[i] = True
+        P[pt_pairs[:, 0]] = old.pt_P[pt_pairs[:, 0]]
+        obs[pt_pairs[:, 0]] = kf.pt_uv[pt_pairs[:, 1]]
+        valid[pt_pairs[:, 0]] = True
         pts = TrackedPoints(P=jnp.asarray(P), obs=jnp.asarray(obs),
                             sigma2=jnp.ones(n, jnp.float32),
                             valid=jnp.asarray(valid),
                             inlier=jnp.asarray(valid))
-        ls = self._match_lines_for_verification(old, kf)
+        ls, ls_pairs = self._match_lines_for_verification(old, kf)
+        if ls is not None:
+            # line-modality inlier-ratio + min-count gates (:4386-4402 and
+            # SlamConfig::minLineMatches)
+            n0 = max(int(old.ls_valid.sum()), 1)
+            n1 = max(int(kf.ls_valid.sum()), 1)
+            ratio_ls = max(100.0 * len(ls_pairs) / n0,
+                           100.0 * len(ls_pairs) / n1)
+            if (ratio_ls <= self.cfg.lc_inlier_ratio
+                    or len(ls_pairs) < self.cfg.min_ls_matches):
+                ls, ls_pairs = None, None
         cfgT = trk.TrackerConfig(use_lines=ls is not None,
                                  plucker_lines=False)
         if ls is None:
             ls = _empty_lines(8)
+            ls_pairs = np.zeros((0, 2), np.int64)
         est, _, _ = jax.jit(trk.optimize_pose, static_argnums=3)(
             pts, ls, self.cam, cfgT)
         if not bool(est.good):
-            return False, None
+            return fail
         # acceptance gates (:4988-5023)
         DT = np.asarray(est.DT, np.float64)   # maps old-frame pts -> new frame
         xi = np.asarray(lie.log_se3(jnp.asarray(DT)))
@@ -269,8 +297,8 @@ class LoopCloser:
         err = float(est.err)
         if (err > self.cfg.lc_res or cov_max > self.cfg.lc_unc
                 or t_norm > self.cfg.lc_trs or r_deg > self.cfg.lc_rot):
-            return False, None
-        return True, DT
+            return fail
+        return True, DT, pt_pairs, ls_pairs
 
     def _match_lines_for_verification(self, old: KeyframeRecord,
                                       kf: KeyframeRecord):
@@ -278,10 +306,10 @@ class LoopCloser:
         NNR over the two KFs' line descriptors feeding the relative-pose
         GN alongside the points (endpoint residuals; the tracker's
         absolute line gate rejects wrong matches at the points-only
-        round-1 pose)."""
+        round-1 pose).  Returns (TrackedLines, (M, 2) index pairs)."""
         nl = len(old.ls_valid)
         if nl == 0 or not old.ls_valid.any() or not kf.ls_valid.any():
-            return None
+            return None, None
         mask = (jnp.asarray(old.ls_valid)[:, None]
                 & jnp.asarray(kf.ls_valid)[None, :])
         res = M.match_mutual_nnr(
@@ -290,11 +318,12 @@ class LoopCloser:
             mask, 0.9)
         idx = np.asarray(res.idx)
         if (idx >= 0).sum() < 3:
-            return None
+            return None, None
         sobs = np.zeros((nl, 2), np.float32)
         eobs = np.zeros((nl, 2), np.float32)
         le = np.zeros((nl, 3), np.float32)
         lval = np.zeros(nl, bool)
+        pairs = []
         for i1, i2 in enumerate(idx):
             if i2 < 0:
                 continue
@@ -305,17 +334,20 @@ class LoopCloser:
                 continue
             sobs[i1], eobs[i1], le[i1] = sp, ep, lo / nrm
             lval[i1] = True
-        return TrackedLines(
+            pairs.append((i1, i2))
+        tl = TrackedLines(
             sP=jnp.asarray(old.ls_sP), eP=jnp.asarray(old.ls_eP),
             sp=jnp.asarray(old.ls_sp), ep=jnp.asarray(old.ls_ep),
             NDc=jnp.asarray(old.ls_NDc), sobs=jnp.asarray(sobs),
             eobs=jnp.asarray(eobs), le_obs=jnp.asarray(le),
             sigma2=jnp.asarray(old.ls_sigma2),
             valid=jnp.asarray(lval), inlier=jnp.asarray(lval))
+        return tl, np.asarray(pairs, np.int64).reshape(-1, 2)
 
     # -- pose-graph correction + fusion (:5301-5531, :5533-5807) -----------
 
-    def _close(self, kf_id: int, cand_id: int, T_rel: np.ndarray) -> dict:
+    def _close(self, kf_id: int, cand_id: int, T_rel: np.ndarray,
+               pt_pairs: np.ndarray, ls_pairs: np.ndarray) -> dict:
         mp = self.mapper.map
         K = len(mp.keyframes)
         T_old = np.stack([k.T_w_k for k in mp.keyframes])
@@ -341,11 +373,13 @@ class LoopCloser:
                     e_T.append(np.linalg.inv(T_old[i]) @ T_old[j])
                     e_w.append(1.0)
         # the loop edge: T_rel maps cand-frame points into kf frame, i.e.
-        # T_cand^w-1... relative pose measurement Z = T_cand^-1 T_kf = inv(T_rel)
+        # T_cand^w-1... relative pose measurement Z = T_cand^-1 T_kf = inv(T_rel).
+        # Identity information like the reference's g2o edges
+        # (mapHandler.cpp:5375-5417) — no ad-hoc up-weighting.
         e_i.append(cand_id)
         e_j.append(kf_id)
         e_T.append(np.linalg.inv(T_rel))
-        e_w.append(float(len(e_i)))  # strong information on the loop edge
+        e_w.append(1.0)
 
         fixed = ((jnp.arange(K) == 0) | (jnp.arange(K) == cand_id)
                  if essential else jnp.arange(K) == 0)
@@ -362,55 +396,113 @@ class LoopCloser:
         g2 = jax.jit(pgo_mod.optimize, static_argnums=1)(g, self.cfg.pgo_iters)
         T_new = np.asarray(g2.T_w_k)
 
-        # rigid landmark correction by owner KF (:5219-5287)
-        owner_pt = np.asarray([obs[0][0] if obs else 0 for obs in mp.pt_obs])
+        # rigid landmark correction by owner KF = first-observing KF
+        # (:5219-5287; kf_obs_list[0] is the owner)
+        owner_pt = mp.pt_first_kf.astype(np.int32)
         if len(owner_pt):
             mp.pt_w = np.asarray(pgo_mod.correct_landmarks(
                 jnp.asarray(T_old), jnp.asarray(T_new),
-                jnp.asarray(owner_pt, jnp.int32), jnp.asarray(mp.pt_w)))
-        owner_ls = np.asarray([obs[0][0] if obs else 0 for obs in mp.ls_obs])
+                jnp.asarray(owner_pt), jnp.asarray(mp.pt_w)))
+        owner_ls = mp.ls_first_kf.astype(np.int32)
         if len(owner_ls):
             mp.ls_w = np.asarray(pgo_mod.correct_plucker_landmarks(
                 jnp.asarray(T_old), jnp.asarray(T_new),
-                jnp.asarray(owner_ls, jnp.int32), jnp.asarray(mp.ls_w)))
-            # endpoints move rigidly with their owner KF too
-            for i, own in enumerate(owner_ls):
-                D = T_new[own] @ np.linalg.inv(T_old[own])
-                mp.ls_epw[i] = (D[:3, :3] @ mp.ls_epw[i].T).T + D[:3, 3]
+                jnp.asarray(owner_ls), jnp.asarray(mp.ls_w)))
+            # endpoints move rigidly with their owner KF too (batched)
+            D = np.einsum("kij,kjl->kil", T_new,
+                          np.linalg.inv(T_old))[owner_ls]
+            mp.ls_epw = (np.einsum("nij,nej->nei", D[:, :3, :3], mp.ls_epw)
+                         + D[:, None, :3, 3])
         for i, kf in enumerate(mp.keyframes):
             kf.T_w_k = T_new[i]
 
-        fused = self._fuse_landmarks(kf_id, cand_id)
+        fused = self._fuse_landmarks(kf_id, cand_id, pt_pairs, ls_pairs)
         drift = float(np.linalg.norm(
             T_new[kf_id][:3, 3] - T_old[kf_id][:3, 3]))
         return {"kf": kf_id, "candidate": cand_id, "fused": fused,
                 "correction": drift}
 
-    def _fuse_landmarks(self, kf_id: int, cand_id: int) -> int:
-        """Merge duplicate point landmarks seen from both loop ends
-        (loopClosureFuseLandmarks :5533-5807, the fuse-duplicates case)."""
+    def _fuse_landmarks(self, kf_id: int, cand_id: int,
+                        pt_pairs: np.ndarray, ls_pairs: np.ndarray) -> dict:
+        """loopClosureFuseLandmarks (:5533-5807): for every matched feature
+        pair (i1 in the old KF, i2 in the new KF), four cases per modality —
+        extend an existing landmark to the other side, create a new one
+        from both observations, or fuse two duplicates into one (the old
+        KF's survives), with full covisibility bookkeeping throughout.
+        The reference's case-1 graph increment uses kf_curr for a kf_prev
+        observation (:5560-5565) — an upstream slip; here the covis bump
+        always credits the KF that actually gains the observation."""
         mp = self.mapper.map
         kf = mp.keyframes[kf_id]
         old = mp.keyframes[cand_id]
-        fused = 0
-        for i in range(len(old.pt_valid)):
-            li = old.pt_lm[i]
-            if li < 0 or not mp.pt_valid[li]:
-                continue
-            for j in range(len(kf.pt_valid)):
-                lj = kf.pt_lm[j]
-                if lj < 0 or lj == li or not mp.pt_valid[lj]:
-                    continue
-                if np.linalg.norm(mp.pt_w[li] - mp.pt_w[lj]) < self.cfg.fuse_dist:
-                    # merge lj into li
-                    mp.pt_obs[li].extend(mp.pt_obs[lj])
-                    for kfi, fi in mp.pt_obs[lj]:
-                        mp.keyframes[kfi].pt_lm[fi] = li
-                    mp.pt_obs[lj] = []
-                    mp.pt_valid[lj] = False
-                    fused += 1
-                    break
-        return fused
+        stats = {"ext_old": 0, "ext_new": 0, "created": 0, "fused": 0}
+
+        def run(pairs, f_lm_old, f_lm_new, add_obs, merge, spawn, table,
+                lm_attr):
+            for i1, i2 in np.asarray(pairs, np.int64).reshape(-1, 2):
+                lm0, lm1 = int(f_lm_old[i1]), int(f_lm_new[i2])
+                if lm0 < 0 and lm1 >= 0:
+                    # extend the new-KF landmark back to the old KF
+                    add_obs([lm1], cand_id, [i1])
+                    f_lm_old[i1] = lm1
+                    stats["ext_old"] += 1
+                elif lm0 >= 0 and lm1 < 0:
+                    add_obs([lm0], kf_id, [i2])
+                    f_lm_new[i2] = lm0
+                    stats["ext_new"] += 1
+                elif lm0 < 0 and lm1 < 0:
+                    spawn(i1, i2)
+                    stats["created"] += 1
+                elif lm0 != lm1:
+                    moved = merge(lm0, lm1)
+                    # re-point every feature that referenced the fused-away
+                    # landmark (the stereo_pt idx rewrite :5645)
+                    for r in moved.tolist():
+                        kfi, fi = int(table.kf[r]), int(table.fi[r])
+                        getattr(mp.keyframes[kfi], lm_attr)[fi] = lm0
+                    stats["fused"] += 1
+
+        def spawn_pt(i1, i2):
+            R, t = old.T_w_k[:3, :3], old.T_w_k[:3, 3]
+            Pw = (R @ old.pt_P[i1] + t)[None]
+            ids = mp.new_points(Pw, old.pt_desc[i1][None], cand_id,
+                                np.asarray([i1]))
+            old.pt_lm[i1] = ids[0]
+            mp.add_point_obs(ids, kf_id, np.asarray([i2]))
+            kf.pt_lm[i2] = ids[0]
+
+        def merge_pt(lm0, lm1):
+            if not mp.pt_valid[lm1] or not mp.pt_valid[lm0]:
+                return np.zeros(0, np.int64)
+            return mp.merge_point_landmarks(lm0, lm1)
+
+        run(pt_pairs, old.pt_lm, kf.pt_lm, mp.add_point_obs, merge_pt,
+            spawn_pt, mp.pobs, "pt_lm")
+
+        if ls_pairs is not None and len(ls_pairs):
+            from .mapping import (_np_normalize_plucker,
+                                  _np_transform_plucker)
+
+            def spawn_ls(i1, i2):
+                R, t = old.T_w_k[:3, :3], old.T_w_k[:3, 3]
+                Lw = _np_normalize_plucker(_np_transform_plucker(
+                    old.T_w_k, old.ls_NDc[i1][None]))
+                ep_w = np.stack([R @ old.ls_sP[i1] + t,
+                                 R @ old.ls_eP[i1] + t])[None]
+                ids = mp.new_lines(Lw, old.ls_desc[i1][None], cand_id,
+                                   np.asarray([i1]), ep_w)
+                old.ls_lm[i1] = ids[0]
+                mp.add_line_obs(ids, kf_id, np.asarray([i2]))
+                kf.ls_lm[i2] = ids[0]
+
+            def merge_ls(lm0, lm1):
+                if not mp.ls_valid[lm1] or not mp.ls_valid[lm0]:
+                    return np.zeros(0, np.int64)
+                return mp.merge_line_landmarks(lm0, lm1)
+
+            run(ls_pairs, old.ls_lm, kf.ls_lm, mp.add_line_obs, merge_ls,
+                spawn_ls, mp.lobs, "ls_lm")
+        return stats
 
 
 def _empty_lines(n: int) -> TrackedLines:

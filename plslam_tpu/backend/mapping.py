@@ -1,24 +1,29 @@
 """Keyframe map management — the MapHandler equivalent.
 
 Behavioral spec: reference ``src/mapHandler.cpp`` — addKeyFrame (:121),
-matchKF2KFPoints (:237), matchKF2KFLines (:368, Pluecker branch :433-590
-incl. the world-frame renormalization :451-459 and the chi^2 creation gate
-:489-494), matchMap2KFPoints/Lines (:697-921), lookForCommonMatches (:923),
-expandGraphs (:992), formLocalMap (:1005), local BA write-back + pruning
-(:6154-6319), removeBadMapLandmarks (:3732), removeRedundantKFs (:3899).
+matchKF2KFPoints (:237, per-observer full_graph increments :322-351),
+matchKF2KFLines (:368, Pluecker branch :433-590 incl. the world-frame
+renormalization :451-459 and the chi^2 creation gate :489-494),
+matchMap2KFPoints/Lines (:697-921, grid-window + mutual NNR + maxKFEpip
+gates), lookForCommonMatches (:923), expandGraphs (:992), formLocalMap
+(:1005), local BA write-back + observation pruning with full_graph
+decrements (:6154-6319, :2251-2252), removeBadMapLandmarks (:3732),
+removeRedundantKFs (:3899-4047 incl. the full_graph row clearing).
 
 Architecture: the *dynamic topology* (landmark creation/culling, growing
-observation tables, covisibility counts) lives in host numpy — it is tiny,
-branchy bookkeeping.  Every *numeric* step (descriptor matching, projection
-gates, bundle adjustment) is a fixed-shape jitted device program.  This is
+observation tables, covisibility counts) lives in host numpy as flat,
+preallocated, capacity-doubling tables — no per-landmark Python objects and
+no per-landmark array growth.  Every *numeric* step (descriptor matching,
+projection gates, bundle adjustment) is a fixed-shape jitted device
+program; the host paths are batched numpy over the flat tables.  This is
 the TPU replacement for the reference's pointer-soup map + mutex protocol:
 the device never sees a pointer, only padded index tables.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass, field
+import logging
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -28,15 +33,15 @@ import numpy as np
 from ..core import lie
 from ..core.camera import StereoCamera
 from ..core.plucker import (
-    normalize_plucker,
     plucker_to_orth,
     orth_to_plucker,
     transform_plucker,
 )
 from ..frontend.features import StereoFeatures
 from ..ops import matching as M
-from ..ops.descriptors import hamming_distance_matrix
 from . import ba as ba_mod
+
+log = logging.getLogger("plslam")
 
 CHI2_GATE = 5.991  # mapHandler.cpp:489, :6131
 
@@ -51,17 +56,19 @@ class MapConfig:
     min_lm_cov_graph: int = 75    # formLocalMap :1052
     min_kf_local_map: int = 3     # formLocalMap :1118
     max_kf_epip_p: float = 1.0    # matchMap2KF accept gate :778
-    max_kf_epip_l: float = 1.0
+    max_kf_epip_l: float = 1.0    # matchMap2KFLines accept gate :894
     match_window: float = 40.0    # projected-grid window (f2f cells)
     nnr: float = 0.9
+    line_sim_th: float = 0.75     # direction cosine filter (matching.cpp:221)
     use_lines: bool = True
     plucker_lines: bool = True
     min_pt_matches: int = 10      # windowed->global fallback gate :277-281
+    min_ls_matches: int = 6       # SlamConfig::minLineMatches (:875-878)
     has_refinement: bool = False  # SlamConfig::hasRefinement :937-977
     cull_kf_every: int = 0        # run removeRedundantKFs every N KFs
     max_common_fts_kf: float = 0.9  # :3899 shared-landmark ratio
     local_ba_kf: int = 16         # padded local-KF capacity for the BA
-    ba_points: int = 1024         # padded BA landmark capacities
+    ba_points: int = 1024         # padded BA landmark capacities (per chunk)
     ba_lines: int = 256
     ba_pobs: int = 4096
     ba_lobs: int = 1024
@@ -96,63 +103,305 @@ class KeyframeRecord:
         self.ls_lm = np.full(len(self.ls_sp), -1, np.int64)
 
 
+def _grow(buf: np.ndarray, need: int) -> np.ndarray:
+    """Double a capacity buffer until it holds ``need`` rows."""
+    cap = len(buf)
+    if need <= cap:
+        return buf
+    cap = max(cap, 1)
+    while cap < need:
+        cap *= 2
+    out = np.zeros((cap,) + buf.shape[1:], buf.dtype)
+    out[: len(buf)] = buf
+    return out
+
+
+class _ObsTable:
+    """Flat observation store: (lm, kf, feat) rows with tombstoned removal
+    — the array-ization of the reference's per-landmark obs/kf_obs lists
+    (mapFeatures.h:60-66, :105-112)."""
+
+    def __init__(self, cap: int = 1024):
+        self.lm = np.zeros(cap, np.int64)
+        self.kf = np.zeros(cap, np.int64)
+        self.fi = np.zeros(cap, np.int64)
+        self.valid = np.zeros(cap, bool)
+        self.n = 0
+
+    def append(self, lms: np.ndarray, kf_id: int, fis: np.ndarray) -> np.ndarray:
+        k = len(lms)
+        need = self.n + k
+        if need > len(self.lm):
+            self.lm = _grow(self.lm, need)
+            self.kf = _grow(self.kf, need)
+            self.fi = _grow(self.fi, need)
+            self.valid = _grow(self.valid, need)
+        rows = np.arange(self.n, self.n + k)
+        self.lm[rows] = lms
+        self.kf[rows] = kf_id
+        self.fi[rows] = fis
+        self.valid[rows] = True
+        self.n = need
+        return rows
+
+
 class SlamMap:
-    """Fixed-capacity landmark store + observation tables + covisibility."""
+    """Fixed-layout landmark store + flat observation tables + covisibility.
+
+    All landmark state lives in capacity-doubling numpy buffers exposed as
+    slice views (``pt_w`` etc.), so consumers index and assign as if they
+    were plain arrays while creation is O(1) amortized.
+    """
+
+    _PT_CAP0 = 4096
+    _LS_CAP0 = 1024
 
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
         self.keyframes: list[KeyframeRecord] = []
         self.covis = np.zeros((0, 0), np.int32)
         # point landmarks
-        self.pt_w = np.zeros((0, 3))
-        self.pt_desc = np.zeros((0, 8), np.uint32)
-        self.pt_valid = np.zeros(0, bool)
-        self.pt_first_kf = np.zeros(0, np.int64)
-        self.pt_last_kf = np.zeros(0, np.int64)
-        # observations: lists of (lm, kf, feat_idx)
-        self.pt_obs: list[list[tuple]] = []
+        self.n_pt = 0
+        self._pt_w = np.zeros((self._PT_CAP0, 3))
+        self._pt_desc = np.zeros((self._PT_CAP0, 8), np.uint32)
+        self._pt_valid = np.zeros(self._PT_CAP0, bool)
+        self._pt_first_kf = np.zeros(self._PT_CAP0, np.int64)
+        self._pt_last_kf = np.zeros(self._PT_CAP0, np.int64)
+        self._pt_nobs = np.zeros(self._PT_CAP0, np.int64)
+        self.pobs = _ObsTable()
+        self._pt_rows: list[list[int]] = []   # live obs rows per landmark
         # line landmarks (world Pluecker, normalized ||d||=1) + world
         # endpoints (the endpoint-mode state, line3D of the reference's
         # non-Pluecker branch :591-692; kept in both modes)
-        self.ls_w = np.zeros((0, 6))
-        self.ls_epw = np.zeros((0, 2, 3))
-        self.ls_desc = np.zeros((0, 8), np.uint32)
-        self.ls_valid = np.zeros(0, bool)
-        self.ls_first_kf = np.zeros(0, np.int64)
-        self.ls_last_kf = np.zeros(0, np.int64)
-        self.ls_obs: list[list[tuple]] = []
+        self.n_ls = 0
+        self._ls_w = np.zeros((self._LS_CAP0, 6))
+        self._ls_epw = np.zeros((self._LS_CAP0, 2, 3))
+        self._ls_desc = np.zeros((self._LS_CAP0, 8), np.uint32)
+        self._ls_valid = np.zeros(self._LS_CAP0, bool)
+        self._ls_first_kf = np.zeros(self._LS_CAP0, np.int64)
+        self._ls_last_kf = np.zeros(self._LS_CAP0, np.int64)
+        self._ls_nobs = np.zeros(self._LS_CAP0, np.int64)
+        self.lobs = _ObsTable(256)
+        self._ls_rows: list[list[int]] = []
 
-    # -- landmark creation ------------------------------------------------
+    # -- array views (live prefix of the capacity buffers) -----------------
 
-    def new_point(self, Pw, desc, kf_id, feat_idx) -> int:
-        self.pt_w = np.vstack([self.pt_w, Pw[None]])
-        self.pt_desc = np.vstack([self.pt_desc, desc[None]])
-        self.pt_valid = np.append(self.pt_valid, True)
-        self.pt_first_kf = np.append(self.pt_first_kf, kf_id)
-        self.pt_last_kf = np.append(self.pt_last_kf, kf_id)
-        self.pt_obs.append([(kf_id, feat_idx)])
-        return len(self.pt_valid) - 1
+    def _view(name):  # noqa: N805 — descriptor factory
+        buf, cnt = "_" + name.split("__")[0], name.split("__")[1]
 
-    def new_line(self, Lw, desc, kf_id, feat_idx, ep_w=None) -> int:
-        self.ls_w = np.vstack([self.ls_w, Lw[None]])
-        ep = np.zeros((1, 2, 3)) if ep_w is None else np.asarray(ep_w)[None]
-        self.ls_epw = np.concatenate([self.ls_epw, ep])
-        self.ls_desc = np.vstack([self.ls_desc, desc[None]])
-        self.ls_valid = np.append(self.ls_valid, True)
-        self.ls_first_kf = np.append(self.ls_first_kf, kf_id)
-        self.ls_last_kf = np.append(self.ls_last_kf, kf_id)
-        self.ls_obs.append([(kf_id, feat_idx)])
-        return len(self.ls_valid) - 1
+        def get(self):
+            return getattr(self, buf)[: getattr(self, cnt)]
 
-    def add_point_obs(self, lm, kf_id, feat_idx):
-        self.pt_obs[lm].append((kf_id, feat_idx))
-        self.pt_last_kf[lm] = kf_id
+        def set_(self, value):
+            getattr(self, buf)[: getattr(self, cnt)] = value
 
-    def add_line_obs(self, lm, kf_id, feat_idx):
-        self.ls_obs[lm].append((kf_id, feat_idx))
-        self.ls_last_kf[lm] = kf_id
+        return property(get, set_)
 
-    # -- covisibility -----------------------------------------------------
+    pt_w = _view("pt_w__n_pt")
+    pt_desc = _view("pt_desc__n_pt")
+    pt_valid = _view("pt_valid__n_pt")
+    pt_first_kf = _view("pt_first_kf__n_pt")
+    pt_last_kf = _view("pt_last_kf__n_pt")
+    pt_nobs = _view("pt_nobs__n_pt")
+    ls_w = _view("ls_w__n_ls")
+    ls_epw = _view("ls_epw__n_ls")
+    ls_desc = _view("ls_desc__n_ls")
+    ls_valid = _view("ls_valid__n_ls")
+    ls_first_kf = _view("ls_first_kf__n_ls")
+    ls_last_kf = _view("ls_last_kf__n_ls")
+    ls_nobs = _view("ls_nobs__n_ls")
+    del _view
+
+    # -- landmark creation (batched) ---------------------------------------
+
+    def new_points(self, Pw: np.ndarray, desc: np.ndarray, kf_id: int,
+                   fis: np.ndarray) -> np.ndarray:
+        """Create N point landmarks seeded by one observation each.
+        Returns the new landmark ids."""
+        k = len(Pw)
+        if k == 0:
+            return np.zeros(0, np.int64)
+        need = self.n_pt + k
+        self._pt_w = _grow(self._pt_w, need)
+        self._pt_desc = _grow(self._pt_desc, need)
+        self._pt_valid = _grow(self._pt_valid, need)
+        self._pt_first_kf = _grow(self._pt_first_kf, need)
+        self._pt_last_kf = _grow(self._pt_last_kf, need)
+        self._pt_nobs = _grow(self._pt_nobs, need)
+        ids = np.arange(self.n_pt, need)
+        self._pt_w[ids] = Pw
+        self._pt_desc[ids] = desc
+        self._pt_valid[ids] = True
+        self._pt_first_kf[ids] = kf_id
+        self._pt_last_kf[ids] = kf_id
+        self._pt_nobs[ids] = 1
+        self.n_pt = need
+        rows = self.pobs.append(ids, kf_id, np.asarray(fis))
+        self._pt_rows.extend([r] for r in rows.tolist())
+        return ids
+
+    def new_lines(self, Lw: np.ndarray, desc: np.ndarray, kf_id: int,
+                  fis: np.ndarray, ep_w: np.ndarray) -> np.ndarray:
+        k = len(Lw)
+        if k == 0:
+            return np.zeros(0, np.int64)
+        need = self.n_ls + k
+        self._ls_w = _grow(self._ls_w, need)
+        self._ls_epw = _grow(self._ls_epw, need)
+        self._ls_desc = _grow(self._ls_desc, need)
+        self._ls_valid = _grow(self._ls_valid, need)
+        self._ls_first_kf = _grow(self._ls_first_kf, need)
+        self._ls_last_kf = _grow(self._ls_last_kf, need)
+        self._ls_nobs = _grow(self._ls_nobs, need)
+        ids = np.arange(self.n_ls, need)
+        self._ls_w[ids] = Lw
+        self._ls_epw[ids] = ep_w
+        self._ls_desc[ids] = desc
+        self._ls_valid[ids] = True
+        self._ls_first_kf[ids] = kf_id
+        self._ls_last_kf[ids] = kf_id
+        self._ls_nobs[ids] = 1
+        self.n_ls = need
+        rows = self.lobs.append(ids, kf_id, np.asarray(fis))
+        self._ls_rows.extend([r] for r in rows.tolist())
+        return ids
+
+    # -- observations + covisibility ---------------------------------------
+
+    def _covis_delta(self, kf_id: int, observer_kfs: np.ndarray, delta: int):
+        """full_graph[kf_id][obs] += delta for every observer (the
+        per-shared-feature increments of mapHandler.cpp:349-350, :788-789,
+        :912-913 / decrements of :2251-2252)."""
+        obs = observer_kfs[observer_kfs != kf_id]
+        if not len(obs):
+            return
+        counts = np.bincount(obs, minlength=self.covis.shape[0])
+        counts = (counts * delta).astype(np.int32)
+        self.covis[kf_id, :] += counts
+        self.covis[:, kf_id] += counts
+
+    def _gather_rows(self, rows_of: list[list[int]], lms) -> np.ndarray:
+        out: list[int] = []
+        for lm in lms:
+            out.extend(rows_of[lm])
+        return np.asarray(out, np.int64)
+
+    def add_point_obs(self, lms: np.ndarray, kf_id: int, fis: np.ndarray):
+        """Add one observation per (landmark, feature) pair from kf_id,
+        bumping covis against EVERY keyframe already observing each
+        landmark (mapHandler.cpp:322-351)."""
+        lms = np.asarray(lms, np.int64)
+        fis = np.asarray(fis, np.int64)
+        if not len(lms):
+            return
+        prior = self._gather_rows(self._pt_rows, lms)
+        if len(prior):
+            self._covis_delta(kf_id, self.pobs.kf[prior], +1)
+        rows = self.pobs.append(lms, kf_id, fis)
+        for lm, r in zip(lms.tolist(), rows.tolist()):
+            self._pt_rows[lm].append(r)
+        self._pt_last_kf[lms] = kf_id
+        self._pt_nobs[lms] += 1
+
+    def add_line_obs(self, lms: np.ndarray, kf_id: int, fis: np.ndarray):
+        lms = np.asarray(lms, np.int64)
+        fis = np.asarray(fis, np.int64)
+        if not len(lms):
+            return
+        prior = self._gather_rows(self._ls_rows, lms)
+        if len(prior):
+            self._covis_delta(kf_id, self.lobs.kf[prior], +1)
+        rows = self.lobs.append(lms, kf_id, fis)
+        for lm, r in zip(lms.tolist(), rows.tolist()):
+            self._ls_rows[lm].append(r)
+        self._ls_last_kf[lms] = kf_id
+        self._ls_nobs[lms] += 1
+
+    def _remove_obs_rows(self, table: _ObsTable, rows_of: list[list[int]],
+                         nobs: np.ndarray, rows: np.ndarray):
+        """Tombstone observation rows, decrementing covis between the
+        removed observer and the remaining observers of each landmark
+        (the pruning decrements of mapHandler.cpp:2251-2252, :6154-6293)."""
+        for r in np.asarray(rows, np.int64).tolist():
+            if not table.valid[r]:
+                continue
+            lm = int(table.lm[r])
+            kf = int(table.kf[r])
+            table.valid[r] = False
+            rows_of[lm].remove(r)
+            nobs[lm] -= 1
+            rest = rows_of[lm]
+            if rest:
+                others = table.kf[np.asarray(rest, np.int64)]
+                self._covis_delta(kf, others, -1)
+
+    def remove_point_obs_rows(self, rows: np.ndarray):
+        self._remove_obs_rows(self.pobs, self._pt_rows, self._pt_nobs, rows)
+
+    def remove_line_obs_rows(self, rows: np.ndarray):
+        self._remove_obs_rows(self.lobs, self._ls_rows, self._ls_nobs, rows)
+
+    def point_obs(self, lm: int):
+        """Live (kf, feat) observation arrays of one point landmark."""
+        rows = np.asarray(self._pt_rows[lm], np.int64)
+        return self.pobs.kf[rows], self.pobs.fi[rows]
+
+    def line_obs(self, lm: int):
+        rows = np.asarray(self._ls_rows[lm], np.int64)
+        return self.lobs.kf[rows], self.lobs.fi[rows]
+
+    def _merge(self, table: _ObsTable, rows_of: list[list[int]],
+               nobs: np.ndarray, valid_view: np.ndarray,
+               last_kf: np.ndarray, keep: int, kill: int):
+        """Fuse landmark ``kill`` into ``keep``: move its observation rows,
+        bump covis between every (keep-observer, kill-observer) pair, and
+        invalidate ``kill`` (loopClosureFuseLandmarks fuse-duplicates case,
+        mapHandler.cpp:5613-5656)."""
+        keep_rows = np.asarray(rows_of[keep], np.int64)
+        kill_rows = np.asarray(rows_of[kill], np.int64)
+        if len(keep_rows) and len(kill_rows):
+            keep_kfs = table.kf[keep_rows]
+            for jdx in table.kf[kill_rows].tolist():
+                self._covis_delta(int(jdx), keep_kfs, +1)
+        table.lm[kill_rows] = keep
+        rows_of[keep].extend(rows_of[kill])
+        rows_of[kill] = []
+        nobs[keep] += nobs[kill]
+        nobs[kill] = 0
+        valid_view[kill] = False
+        if len(kill_rows):
+            last_kf[keep] = max(last_kf[keep], int(table.kf[kill_rows].max()))
+        return kill_rows
+
+    def merge_point_landmarks(self, keep: int, kill: int):
+        """Returns the moved obs rows so the caller can re-point per-KF
+        feature->landmark links."""
+        return self._merge(self.pobs, self._pt_rows, self._pt_nobs,
+                           self.pt_valid, self._pt_last_kf, keep, kill)
+
+    def merge_line_landmarks(self, keep: int, kill: int):
+        return self._merge(self.lobs, self._ls_rows, self._ls_nobs,
+                           self.ls_valid, self._ls_last_kf, keep, kill)
+
+    def drop_keyframe_obs(self, kf_id: int):
+        """Remove every observation made by one keyframe (KF culling,
+        removeRedundantKFs :3899-4047).  Covis pairs between OTHER
+        keyframes are unaffected (sharing doesn't involve kf_id); the
+        culled KF's row/col is cleared wholesale, matching :4036-4039."""
+        for table, rows_of, nobs in (
+                (self.pobs, self._pt_rows, self._pt_nobs),
+                (self.lobs, self._ls_rows, self._ls_nobs)):
+            rows = np.where(table.valid[: table.n]
+                            & (table.kf[: table.n] == kf_id))[0]
+            for r in rows.tolist():
+                lm = int(table.lm[r])
+                table.valid[r] = False
+                rows_of[lm].remove(r)
+                nobs[lm] -= 1
+        self.covis[kf_id, :] = 0
+        self.covis[:, kf_id] = 0
+
+    # -- covisibility -------------------------------------------------------
 
     def expand_graphs(self):
         """Grow covis to (K+1)^2 (expandGraphs :992)."""
@@ -173,24 +422,36 @@ class SlamMap:
         active = np.asarray([kf.active for kf in self.keyframes])
         return local & active
 
+    # -- legacy-style accessors (tests / tools) ------------------------------
+
+    @property
+    def pt_obs(self) -> list[list[tuple]]:
+        """Observation lists in (kf, feat) tuple form — compatibility view
+        for tests and serialization; not used on hot paths."""
+        return [[(int(self.pobs.kf[r]), int(self.pobs.fi[r]))
+                 for r in rows] for rows in self._pt_rows]
+
+    @property
+    def ls_obs(self) -> list[list[tuple]]:
+        return [[(int(self.lobs.kf[r]), int(self.lobs.fi[r]))
+                 for r in rows] for rows in self._ls_rows]
+
 
 # ---------------------------------------------------------------------------
 # Device-side helpers (jitted once per shape)
 # ---------------------------------------------------------------------------
 
 
-import functools
-
-
 def _np_transform_plucker(T: np.ndarray, L: np.ndarray) -> np.ndarray:
     """Host-side Pluecker transform (matches core.plucker.transform_plucker:
-    n' = R n + t x (R d); d' = R d).  The map-maintenance loops run this
-    per landmark; an eager device op per call (~0.4 s/op on the axon
+    n' = R n + t x (R d); d' = R d).  The map-maintenance paths run this
+    on small batches; an eager device op per call (~0.4 s/op on the axon
     tunnel, verify SKILL.md) made mapping dispatch-bound."""
     R, t = T[:3, :3], T[:3, 3]
     n = L[..., :3] @ R.T
     d = L[..., 3:] @ R.T
-    return np.concatenate([n + np.cross(t, d), d], axis=-1)
+    return np.concatenate([n + np.cross(np.broadcast_to(t, d.shape), d),
+                           d], axis=-1)
 
 
 def _np_normalize_plucker(L: np.ndarray) -> np.ndarray:
@@ -238,6 +499,8 @@ class MapHandler:
         self.tracker_cfg = tracker_cfg  # for hasRefinement; None = defaults
         self.map = SlamMap(cfg)
         self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
+        self._gba_jit = jax.jit(ba_mod.bundle_adjust_chunked,
+                                static_argnums=2)
         self._refine_jit = None  # built lazily (has_refinement only)
 
         # Fused association programs: each remote dispatch/fetch costs
@@ -245,6 +508,7 @@ class MapHandler:
         # device_get each instead of per-modality chains.
         cam_, win_, nnr_ = self.cam, self.cfg.match_window, self.cfg.nnr
         use_lines_ = self.cfg.use_lines
+        sim_ = self.cfg.line_sim_th
 
         def _kf2kf_prog(T_rel, pP, pdesc, pvalid, kdesc, kuv, kvalid,
                         pls_desc, pls_mid, pls_valid,
@@ -267,8 +531,19 @@ class MapHandler:
 
         self._kf2kf_prog = jax.jit(_kf2kf_prog)
 
+        def _line_eq(sp, ep):
+            # normalized image-line equation through two 2D points
+            l = jnp.cross(
+                jnp.concatenate([sp, jnp.ones_like(sp[..., :1])], -1),
+                jnp.concatenate([ep, jnp.ones_like(ep[..., :1])], -1))
+            nrm = jnp.hypot(l[..., 0], l[..., 1])
+            return l / jnp.maximum(nrm, 1e-9)[..., None]
+
         def _map2kf_prog(T_c_w, candP, cand_desc, cand_valid,
-                         kdesc, kuv, kfree, candL, lcand_desc, kls_desc):
+                         kdesc, kuv, kfree,
+                         cand_sPw, cand_ePw, lcand_desc, lcand_valid,
+                         kls_sp, kls_ep, kls_desc, kls_free):
+            # -- points (matchMap2KFPoints :697-797) --
             Pc = lie.transform_point(T_c_w, candP)
             proj = cam_.project(Pc)
             inside = (cand_valid & (Pc[..., 2] > 0)
@@ -276,12 +551,54 @@ class MapHandler:
                       & (proj[..., 1] >= 0) & (proj[..., 1] < cam_.height))
             mask = M.window_pair_mask(proj, kuv, inside, kfree, win_, win_)
             m = M.match_descriptors(cand_desc, kdesc, mask, nnr_)
+            # projected distance per accepted pair (epipolar gate :778)
+            safe = jnp.maximum(m.idx, 0)
+            p_err = jnp.linalg.norm(proj - kuv[safe], axis=-1)
             if not use_lines_:
-                return m.idx, proj, None, None
-            Lc = transform_plucker(T_c_w, candL)
-            l_img = jnp.einsum("ij,nj->ni", cam_.plucker_K, Lc[..., :3])
-            dists = hamming_distance_matrix(lcand_desc, kls_desc)
-            return m.idx, proj, l_img, dists
+                return m.idx, p_err, None, None, None
+            # -- lines (matchMap2KFLines :799-921): project world
+            # endpoints, inside-image gate, grid-window (midpoint
+            # proximity) + direction cosine filter, mutual NNR, and the
+            # endpoint-to-observed-line epipolar errors --
+            sPc = lie.transform_point(T_c_w, cand_sPw)
+            ePc = lie.transform_point(T_c_w, cand_ePw)
+            spf = cam_.project(sPc)
+            epf = cam_.project(ePc)
+
+            def _in(p, z):
+                return ((z > 0) & (p[..., 0] >= 0) & (p[..., 0] < cam_.width)
+                        & (p[..., 1] >= 0) & (p[..., 1] < cam_.height))
+
+            l_inside = (lcand_valid & _in(spf, sPc[..., 2])
+                        & _in(epf, ePc[..., 2]))
+            v1 = epf - spf
+            v2 = kls_ep - kls_sp
+            n1 = jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-9)
+            n2 = jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9)
+            cos = jnp.abs((v1 / n1) @ (v2 / n2).T)
+            mid_c = 0.5 * (spf + epf)
+            mid_k = 0.5 * (kls_sp + kls_ep)
+            wmask = M.window_pair_mask(mid_c, mid_k, l_inside, kls_free,
+                                       win_ * 2.0, win_ * 2.0)
+            lmask = wmask & (cos >= sim_)
+            m_l = M.match_descriptors(lcand_desc, kls_desc, lmask, nnr_)
+            # global fallback (match() path :875-878): validity-only mask
+            gmask = (l_inside[:, None] & kls_free[None, :]) & (cos >= sim_)
+            m_lg = M.match_descriptors(lcand_desc, kls_desc, gmask, nnr_)
+            # epipolar errors of both candidates' picks vs the observed
+            # feature line (err = l_obs . [proj; 1], :889-894)
+            le = _line_eq(kls_sp, kls_ep)
+
+            def _errs(idx):
+                lsel = le[jnp.maximum(idx, 0)]
+                e_s = jnp.abs(lsel[..., 0] * spf[..., 0]
+                              + lsel[..., 1] * spf[..., 1] + lsel[..., 2])
+                e_e = jnp.abs(lsel[..., 0] * epf[..., 0]
+                              + lsel[..., 1] * epf[..., 1] + lsel[..., 2])
+                return jnp.maximum(e_s, e_e)
+
+            return m.idx, p_err, m_l.idx, m_lg.idx, (_errs(m_l.idx),
+                                                     _errs(m_lg.idx))
 
         self._map2kf_prog = jax.jit(_map2kf_prog)
 
@@ -317,8 +634,10 @@ class MapHandler:
 
     def _match_kf2kf(self, kf: KeyframeRecord):
         """Project the previous KF's features into the new KF and match
-        (matchKF2KFPoints :237 / Lines :368)."""
+        (matchKF2KFPoints :237 / Lines :368).  Fully batched: one device
+        program, then numpy-batched landmark creation / observation adds."""
         prev = self.map.keyframes[-2]
+        mp = self.map
         T_c_w_new = np.linalg.inv(kf.T_w_k)
         T_rel = T_c_w_new @ prev.T_w_k  # prev-cam -> new-cam
 
@@ -336,50 +655,46 @@ class MapHandler:
             jnp.asarray(kf.ls_valid)))
         # windowed -> global fallback when too few matches (:277-281)
         idx = idx_w if (idx_w >= 0).sum() >= self.cfg.min_pt_matches else idx_g
-        shared = 0
-        for i1, i2 in enumerate(idx):
-            if i2 < 0:
-                continue
-            lm = prev.pt_lm[i1]
-            if lm < 0:
-                # create a landmark from the prev-KF stereo triangulation
-                Pw = prev.T_w_k[:3, :3] @ prev.pt_P[i1] + prev.T_w_k[:3, 3]
-                # chi^2 creation gate: reprojection into the NEW kf
-                if not self._point_chi2_ok(Pw, kf, i2):
-                    continue
-                lm = self.map.new_point(Pw, prev.pt_desc[i1], prev.id, i1)
-                prev.pt_lm[i1] = lm
-            self.map.add_point_obs(lm, kf.id, i2)
-            kf.pt_lm[i2] = lm
-            shared += 1
-        self._bump_covis(kf, shared)
+
+        i1 = np.where(idx >= 0)[0]
+        i2 = idx[i1].astype(np.int64)
+        lm = prev.pt_lm[i1]
+        has = lm >= 0
+        # new landmarks from the prev-KF stereo triangulation, gated by
+        # reprojection chi^2 into the NEW kf (:489-494)
+        n1, n2 = i1[~has], i2[~has]
+        R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
+        Pw = prev.pt_P[n1] @ R.T + t
+        ok = self._point_chi2_ok(Pw, kf, n2)
+        ids = mp.new_points(Pw[ok], prev.pt_desc[n1[ok]], prev.id, n1[ok])
+        prev.pt_lm[n1[ok]] = ids
+        all_lms = np.concatenate([lm[has], ids])
+        all_fis = np.concatenate([i2[has], n2[ok]])
+        mp.add_point_obs(all_lms, kf.id, all_fis)
+        kf.pt_lm[all_fis] = all_lms
 
         if not self.cfg.use_lines:
             return
         # lines (matched in the same fused program above)
-        idx = idx_l
-        shared_l = 0
-        for i1, i2 in enumerate(idx):
-            if i2 < 0:
-                continue
-            lm = prev.ls_lm[i1]
-            if lm < 0:
-                # lift the prev-KF camera-frame Pluecker line to world and
-                # renormalize ||d||=1 (mapHandler.cpp:451-459)
-                Lw = _np_normalize_plucker(
-                    _np_transform_plucker(prev.T_w_k, prev.ls_NDc[i1]))
-                if not self._line_chi2_ok(Lw, kf, i2):
-                    continue
-                R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
-                ep_w = np.stack([R @ prev.ls_sP[i1] + t,
-                                 R @ prev.ls_eP[i1] + t])
-                lm = self.map.new_line(Lw, prev.ls_desc[i1], prev.id, i1,
-                                       ep_w=ep_w)
-                prev.ls_lm[i1] = lm
-            self.map.add_line_obs(lm, kf.id, i2)
-            kf.ls_lm[i2] = lm
-            shared_l += 1
-        self._bump_covis(kf, shared_l)
+        i1 = np.where(idx_l >= 0)[0]
+        i2 = idx_l[i1].astype(np.int64)
+        lm = prev.ls_lm[i1]
+        has = lm >= 0
+        n1, n2 = i1[~has], i2[~has]
+        # lift the prev-KF camera-frame Pluecker lines to world and
+        # renormalize ||d||=1 (mapHandler.cpp:451-459)
+        Lw = _np_normalize_plucker(
+            _np_transform_plucker(prev.T_w_k, prev.ls_NDc[n1]))
+        ok = self._line_chi2_ok(Lw, kf, n2)
+        ep_w = np.stack([prev.ls_sP[n1[ok]] @ R.T + t,
+                         prev.ls_eP[n1[ok]] @ R.T + t], axis=1)
+        ids = mp.new_lines(Lw[ok], prev.ls_desc[n1[ok]], prev.id, n1[ok],
+                           ep_w)
+        prev.ls_lm[n1[ok]] = ids
+        all_lms = np.concatenate([lm[has], ids])
+        all_fis = np.concatenate([i2[has], n2[ok]])
+        mp.add_line_obs(all_lms, kf.id, all_fis)
+        kf.ls_lm[all_fis] = all_lms
 
     def _refine_kf_pose(self, kf: KeyframeRecord):
         """hasRefinement (:937-977): re-run the StVO robust pose optimizer
@@ -441,268 +756,286 @@ class MapHandler:
             DT = np.asarray(est.DT, np.float64)  # new-cam <- prev-cam
             kf.T_w_k = prev.T_w_k @ np.linalg.inv(DT)
 
+    def _local_landmark_mask(self, table: _ObsTable, n_lm: int,
+                             local_kf: np.ndarray) -> np.ndarray:
+        """Landmarks observed by at least one local keyframe — one
+        vectorized pass over the flat obs table (formLocalMap landmark
+        marking :1052-1118)."""
+        sel = table.valid[: table.n] & local_kf[table.kf[: table.n]]
+        mask = np.zeros(n_lm, bool)
+        mask[table.lm[: table.n][sel]] = True
+        return mask
+
     def _match_map2kf(self, kf: KeyframeRecord):
         """Track local-map landmarks not yet matched into the new KF
         (matchMap2KFPoints :697 / Lines :799)."""
         local_kf = self.map.local_kf_set()
         mp = self.map
+        cfg = self.cfg
         T_c_w = np.linalg.inv(kf.T_w_k)
         # candidate landmarks: local, valid, not already observed in kf
-        already = set(kf.pt_lm[kf.pt_lm >= 0].tolist())
-        cand = [i for i in range(len(mp.pt_valid))
-                if mp.pt_valid[i] and i not in already
-                and any(local_kf[k] for k, _ in mp.pt_obs[i])]
-        use_lines = self.cfg.use_lines
-        already_l = set(kf.ls_lm[kf.ls_lm >= 0].tolist()) if use_lines else set()
-        cand_l = ([i for i in range(len(mp.ls_valid))
-                   if mp.ls_valid[i] and i not in already_l
-                   and any(local_kf[k] for k, _ in mp.ls_obs[i])]
-                  if use_lines else [])
-        if not cand and not cand_l:
+        in_kf = np.zeros(mp.n_pt, bool)
+        in_kf[kf.pt_lm[kf.pt_lm >= 0]] = True
+        cand = np.where(mp.pt_valid
+                        & self._local_landmark_mask(mp.pobs, mp.n_pt, local_kf)
+                        & ~in_kf)[0]
+        use_lines = cfg.use_lines
+        if use_lines:
+            in_kf_l = np.zeros(mp.n_ls, bool)
+            in_kf_l[kf.ls_lm[kf.ls_lm >= 0]] = True
+            cand_l = np.where(
+                mp.ls_valid
+                & self._local_landmark_mask(mp.lobs, mp.n_ls, local_kf)
+                & ~in_kf_l)[0]
+        else:
+            cand_l = np.zeros(0, np.int64)
+        if not len(cand) and not len(cand_l):
             return
 
         # one fused program + one fetch for both modalities
         nb = _pad_bucket(len(cand))
         nbl = _pad_bucket(len(cand_l), lo=64)
-        cvalid = np.arange(nb) < len(cand)
         free = kf.pt_valid & (kf.pt_lm < 0)
-        idx, proj, l_img, dist_mat = jax.device_get(self._map2kf_prog(
+        free_l = kf.ls_valid & (kf.ls_lm < 0)
+        out = jax.device_get(self._map2kf_prog(
             jnp.asarray(T_c_w, jnp.float32),
-            jnp.asarray(_pad_rows(mp.pt_w[cand], nb)
-                        if cand else np.zeros((nb, 3))),
-            jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)
-                        if cand else np.zeros((nb, 8), np.uint32)),
-            jnp.asarray(cvalid),
+            jnp.asarray(_pad_rows(mp.pt_w[cand], nb)),
+            jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)),
+            jnp.asarray(np.arange(nb) < len(cand)),
             jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
             jnp.asarray(free),
-            jnp.asarray(_pad_rows(mp.ls_w[cand_l], nbl)
-                        if cand_l else np.zeros((nbl, 6))),
-            jnp.asarray(_pad_rows(mp.ls_desc[cand_l], nbl)
-                        if cand_l else np.zeros((nbl, 8), np.uint32)),
-            jnp.asarray(kf.ls_desc)))
-        if cand:
-            shared = 0
-            for ci, i2 in enumerate(idx[: len(cand)]):
-                if i2 < 0:
-                    continue
-                # epipolar-style gate: projected distance (:778)
-                if np.linalg.norm(proj[ci] - kf.pt_uv[i2]) > self.cfg.match_window:
-                    continue
-                lm = cand[ci]
-                self.map.add_point_obs(lm, kf.id, i2)
-                kf.pt_lm[i2] = lm
-                shared += 1
-            self._bump_covis(kf, shared)
+            jnp.asarray(_pad_rows(mp.ls_epw[cand_l, 0], nbl)),
+            jnp.asarray(_pad_rows(mp.ls_epw[cand_l, 1], nbl)),
+            jnp.asarray(_pad_rows(mp.ls_desc[cand_l], nbl)),
+            jnp.asarray(np.arange(nbl) < len(cand_l)),
+            jnp.asarray(kf.ls_sp), jnp.asarray(kf.ls_ep),
+            jnp.asarray(kf.ls_desc), jnp.asarray(free_l)))
+        idx, p_err, idx_l, idx_lg, l_errs = out
+        if len(cand):
+            idx = idx[: len(cand)].astype(np.int64)
+            p_err = p_err[: len(cand)]
+            # epipolar-style gate: projected distance (:778)
+            acc = (idx >= 0) & (p_err <= cfg.match_window)
+            mp.add_point_obs(cand[acc], kf.id, idx[acc])
+            kf.pt_lm[idx[acc]] = cand[acc]
 
-        if cand_l:
-            l_img = l_img[: len(cand_l)]
-            dist_mat = dist_mat[: len(cand_l)]
-            cand = cand_l
-            free = kf.ls_valid & (kf.ls_lm < 0)
-            for ci in range(len(cand)):
-                ln = l_img[ci]
-                nrm = np.hypot(ln[0], ln[1])
-                if nrm < 1e-9:
-                    continue
-                d_s = np.abs(ln[0] * kf.ls_sp[:, 0] + ln[1] * kf.ls_sp[:, 1] + ln[2]) / nrm
-                d_e = np.abs(ln[0] * kf.ls_ep[:, 0] + ln[1] * kf.ls_ep[:, 1] + ln[2]) / nrm
-                gate = free & (d_s < self.cfg.match_window) & (d_e < self.cfg.match_window)
-                if not gate.any():
-                    continue
-                dists = np.where(gate, dist_mat[ci], 1 << 20)
-                i2 = int(dists.argmin())
-                if dists[i2] >= (1 << 20):
-                    continue
-                if max(d_s[i2], d_e[i2]) > self.cfg.max_kf_epip_l * 20:
-                    continue
-                self.map.add_line_obs(cand[ci], kf.id, i2)
-                kf.ls_lm[i2] = cand[ci]
-                free[i2] = False  # a feature feeds at most one landmark
+        if len(cand_l):
+            # windowed -> global fallback when too few matches (:875-878)
+            nw = int((idx_l[: len(cand_l)] >= 0).sum())
+            if nw >= cfg.min_ls_matches:
+                lidx, lerr = idx_l, l_errs[0]
+            else:
+                lidx, lerr = idx_lg, l_errs[1]
+            lidx = lidx[: len(cand_l)].astype(np.int64)
+            lerr = lerr[: len(cand_l)]
+            # epipolar gate at maxKFEpipL (:889-894; abs of the signed
+            # endpoint-to-line errors)
+            acc = (lidx >= 0) & (lerr < cfg.max_kf_epip_l)
+            mp.add_line_obs(cand_l[acc], kf.id, lidx[acc])
+            kf.ls_lm[lidx[acc]] = cand_l[acc]
 
     def _spawn_landmarks(self, kf: KeyframeRecord):
-        """Unmatched stereo features of the newest KF seed new landmarks."""
-        for i in range(len(kf.pt_valid)):
-            if kf.pt_valid[i] and kf.pt_lm[i] < 0:
-                Pw = kf.T_w_k[:3, :3] @ kf.pt_P[i] + kf.T_w_k[:3, 3]
-                kf.pt_lm[i] = self.map.new_point(Pw, kf.pt_desc[i], kf.id, i)
+        """Unmatched stereo features of the newest KF seed new landmarks
+        (batched; matchKF2KF* landmark creation for the leftovers)."""
+        mp = self.map
+        R, t = kf.T_w_k[:3, :3], kf.T_w_k[:3, 3]
+        fis = np.where(kf.pt_valid & (kf.pt_lm < 0))[0]
+        if len(fis):
+            Pw = kf.pt_P[fis] @ R.T + t
+            kf.pt_lm[fis] = mp.new_points(Pw, kf.pt_desc[fis], kf.id, fis)
         if self.cfg.use_lines:
-            for i in range(len(kf.ls_valid)):
-                if kf.ls_valid[i] and kf.ls_lm[i] < 0:
-                    Lw = _np_normalize_plucker(
-                        _np_transform_plucker(kf.T_w_k, kf.ls_NDc[i]))
-                    R, t = kf.T_w_k[:3, :3], kf.T_w_k[:3, 3]
-                    ep_w = np.stack([R @ kf.ls_sP[i] + t,
-                                     R @ kf.ls_eP[i] + t])
-                    kf.ls_lm[i] = self.map.new_line(Lw, kf.ls_desc[i],
-                                                    kf.id, i, ep_w=ep_w)
+            fis = np.where(kf.ls_valid & (kf.ls_lm < 0))[0]
+            if len(fis):
+                Lw = _np_normalize_plucker(
+                    _np_transform_plucker(kf.T_w_k, kf.ls_NDc[fis]))
+                ep_w = np.stack([kf.ls_sP[fis] @ R.T + t,
+                                 kf.ls_eP[fis] @ R.T + t], axis=1)
+                kf.ls_lm[fis] = mp.new_lines(Lw, kf.ls_desc[fis], kf.id,
+                                             fis, ep_w)
 
-    def _bump_covis(self, kf: KeyframeRecord, shared: int):
-        if len(self.map.keyframes) >= 2 and shared:
-            self.map.covis[kf.id, kf.id - 1] += shared
-            self.map.covis[kf.id - 1, kf.id] += shared
-
-    def _point_chi2_ok(self, Pw, kf: KeyframeRecord, feat_idx) -> bool:
-        """Reprojection chi^2 creation gate (mapHandler.cpp:489-494)."""
+    def _point_chi2_ok(self, Pw: np.ndarray, kf: KeyframeRecord,
+                       feat_idx: np.ndarray) -> np.ndarray:
+        """Batched reprojection chi^2 creation gate (:489-494)."""
+        if not len(Pw):
+            return np.zeros(0, bool)
         T_c_w = np.linalg.inv(kf.T_w_k)
-        Pc = T_c_w[:3, :3] @ Pw + T_c_w[:3, 3]
-        if Pc[2] <= 0:
-            return False
+        Pc = Pw @ T_c_w[:3, :3].T + T_c_w[:3, 3]
+        z = np.maximum(Pc[:, 2], 1e-9)
         fx, fy = float(self.cam.fx), float(self.cam.fy)
         cx, cy = float(self.cam.cx), float(self.cam.cy)
-        u = cx + fx * Pc[0] / Pc[2]
-        v = cy + fy * Pc[1] / Pc[2]
-        err = np.array([u, v]) - kf.pt_uv[feat_idx]
-        return float(err @ err) <= CHI2_GATE * 4.0
+        u = cx + fx * Pc[:, 0] / z
+        v = cy + fy * Pc[:, 1] / z
+        err = np.stack([u, v], -1) - kf.pt_uv[feat_idx]
+        return (Pc[:, 2] > 0) & ((err * err).sum(-1) <= CHI2_GATE * 4.0)
 
-    def _line_chi2_ok(self, Lw, kf: KeyframeRecord, feat_idx) -> bool:
+    def _line_chi2_ok(self, Lw: np.ndarray, kf: KeyframeRecord,
+                      feat_idx: np.ndarray) -> np.ndarray:
+        if not len(Lw):
+            return np.zeros(0, bool)
         T_c_w = np.linalg.inv(kf.T_w_k)
-        Lc = _np_transform_plucker(T_c_w, np.asarray(Lw))
+        Lc = _np_transform_plucker(T_c_w, Lw)
         K_L = np.asarray(self.cam.plucker_K)
-        l = K_L @ Lc[:3]
-        nrm = np.hypot(l[0], l[1])
-        if nrm < 1e-9:
-            return False
+        l = Lc[:, :3] @ K_L.T
+        nrm = np.hypot(l[:, 0], l[:, 1])
+        good = nrm > 1e-9
+        nrm = np.where(good, nrm, 1.0)
         sp, ep = kf.ls_sp[feat_idx], kf.ls_ep[feat_idx]
-        e0 = (l[0] * sp[0] + l[1] * sp[1] + l[2]) / nrm
-        e1 = (l[0] * ep[0] + l[1] * ep[1] + l[2]) / nrm
-        return e0 * e0 + e1 * e1 <= CHI2_GATE * 4.0
+        e0 = (l[:, 0] * sp[:, 0] + l[:, 1] * sp[:, 1] + l[:, 2]) / nrm
+        e1 = (l[:, 0] * ep[:, 0] + l[:, 1] * ep[:, 1] + l[:, 2]) / nrm
+        return good & (e0 * e0 + e1 * e1 <= CHI2_GATE * 4.0)
 
     # -- bundle adjustment -------------------------------------------------
 
-    def build_local_ba(self):
-        """Assemble the padded BAProblem over the local map (the array-ized
-        localBundleAdjustmentForPlukerWithG2O graph build :5870-6049)."""
+    def _assemble_problem(self, local_ids: list[int], pt_ids: np.ndarray,
+                          ls_ids: np.ndarray, cap_pts: int, cap_ls: int,
+                          cap_pobs: int, cap_lobs: int,
+                          fix_rule: str = "local"):
+        """Build one padded BAProblem over the given keyframes/landmarks —
+        the array-ized localBundleAdjustmentForPlukerWithG2O graph build
+        (:5870-6049).  Vectorized over the flat observation tables.
+
+        fix_rule: 'local' fixes the oldest local KF + KF0 (LBA gauge);
+        'kf0' fixes only KF0 (GBA, :3022)."""
         cfg = self.cfg
         mp = self.map
-        local = mp.local_kf_set()
-        K = cfg.local_ba_kf
-        kf_ids = [k.id for k in mp.keyframes]
-        # local KFs last; fixed set = non-local observers + KF0
-        local_ids = [i for i in kf_ids if local[i]][-K:]
-        slot_of = {kf: s for s, kf in enumerate(local_ids)}
-
-        # landmarks observed by local KFs
-        pt_ids = [i for i in range(len(mp.pt_valid)) if mp.pt_valid[i]
-                  and sum(1 for k, _ in mp.pt_obs[i] if k in slot_of) >= 2]
-        ls_ids = [i for i in range(len(mp.ls_valid)) if mp.ls_valid[i]
-                  and sum(1 for k, _ in mp.ls_obs[i] if k in slot_of) >= 2]
-        pt_ids = pt_ids[: cfg.ba_points]
-        ls_ids = ls_ids[: cfg.ba_lines]
-        if not cfg.plucker_lines:
-            # endpoint mode: each line takes two 3-DoF slots of the point
-            # table (levMarquardtOptimizationLBA :1429-1445 layout)
-            room = (cfg.ba_points - len(pt_ids)) // 2
-            ls_ids = ls_ids[: max(room, 0)]
-        pslot = {p: s for s, p in enumerate(pt_ids)}
-        lslot = {p: s for s, p in enumerate(ls_ids)}
+        K = max(len(local_ids), 1)
+        slot_of_kf = np.full(len(mp.keyframes), -1, np.int64)
+        slot_of_kf[local_ids] = np.arange(len(local_ids))
 
         dtype = np.float32
         T = np.tile(np.eye(4, dtype=dtype), (K, 1, 1))
         pose_valid = np.zeros(K, bool)
         pose_fixed = np.zeros(K, bool)
-        for kfid, s in slot_of.items():
+        for s, kfid in enumerate(local_ids):
             T[s] = np.linalg.inv(mp.keyframes[kfid].T_w_k)
             pose_valid[s] = True
-            # gauge: fix the oldest local KF (and KF0 whenever present)
-            pose_fixed[s] = kfid == local_ids[0] or kfid == 0
+            if fix_rule == "local":
+                pose_fixed[s] = kfid == local_ids[0] or kfid == 0
+            else:
+                pose_fixed[s] = kfid == 0
 
-        points = np.zeros((cfg.ba_points, 3), dtype)
-        point_valid = np.zeros(cfg.ba_points, bool)
-        for p, s in pslot.items():
-            points[s] = mp.pt_w[p]
-            point_valid[s] = True
+        # stacked per-KF feature lookups for the local set (all KF records
+        # share the frontend's fixed feature capacity)
+        kf_pt_uv = np.stack([mp.keyframes[k].pt_uv for k in local_ids])
+        kf_pt_sig = np.stack([mp.keyframes[k].pt_sigma2 for k in local_ids])
+        kf_ls_sp = np.stack([mp.keyframes[k].ls_sp for k in local_ids])
+        kf_ls_ep = np.stack([mp.keyframes[k].ls_ep for k in local_ids])
+        kf_ls_sig = np.stack([mp.keyframes[k].ls_sigma2 for k in local_ids])
 
-        lines_orth = np.zeros((cfg.ba_lines, 4), dtype)
-        lines_scale = np.ones(cfg.ba_lines, dtype)
-        line_valid = np.zeros(cfg.ba_lines, bool)
+        pslot = np.full(mp.n_pt, -1, np.int64)
+        pslot[pt_ids] = np.arange(len(pt_ids))
+        lslot = np.full(mp.n_ls, -1, np.int64)
+        lslot[ls_ids] = np.arange(len(ls_ids))
+
+        points = np.zeros((cap_pts, 3), dtype)
+        point_valid = np.zeros(cap_pts, bool)
+        points[: len(pt_ids)] = mp.pt_w[pt_ids]
+        point_valid[: len(pt_ids)] = True
+
+        lines_orth = np.zeros((cap_ls, 4), dtype)
+        lines_scale = np.ones(cap_ls, dtype)
+        line_valid = np.zeros(cap_ls, bool)
         ep_base = len(pt_ids)  # first endpoint slot in the point table
-        if cfg.plucker_lines and ls_ids:
+        if cfg.plucker_lines and len(ls_ids):
             # one batched device call for ALL orth conversions (a per-line
             # eager op would be dispatch-bound on the remote TPU)
             Lws = mp.ls_w[ls_ids]
             scales = np.linalg.norm(Lws, axis=-1)
             orths = np.asarray(_orth_batch(
                 jnp.asarray(Lws / scales[:, None])))
-            for p, s in lslot.items():
-                lines_scale[s] = scales[s]
-                lines_orth[s] = orths[s]
-                line_valid[s] = True
-        else:
-            for p, s in lslot.items():
-                points[ep_base + 2 * s] = mp.ls_epw[p, 0]
-                points[ep_base + 2 * s + 1] = mp.ls_epw[p, 1]
-                point_valid[ep_base + 2 * s] = True
-                point_valid[ep_base + 2 * s + 1] = True
+            lines_orth[: len(ls_ids)] = orths
+            lines_scale[: len(ls_ids)] = scales
+            line_valid[: len(ls_ids)] = True
+        elif len(ls_ids):
+            # endpoint mode: each line takes two 3-DoF slots of the point
+            # table (levMarquardtOptimizationLBA :1429-1445 layout)
+            sl = np.arange(len(ls_ids))
+            points[ep_base + 2 * sl] = mp.ls_epw[ls_ids, 0]
+            points[ep_base + 2 * sl + 1] = mp.ls_epw[ls_ids, 1]
+            point_valid[ep_base + 2 * sl] = True
+            point_valid[ep_base + 2 * sl + 1] = True
 
-        p_cam = np.zeros(cfg.ba_pobs, np.int32)
-        p_lm = np.zeros(cfg.ba_pobs, np.int32)
-        p_uv = np.zeros((cfg.ba_pobs, 2), dtype)
-        p_sig = np.ones(cfg.ba_pobs, dtype)
-        p_val = np.zeros(cfg.ba_pobs, bool)
-        n = 0
-        obs_refs_p = []
-        for p, s in pslot.items():
-            for kfid, fi in mp.pt_obs[p]:
-                if kfid not in slot_of or n >= cfg.ba_pobs:
-                    continue
-                rec = mp.keyframes[kfid]
-                p_cam[n] = slot_of[kfid]
-                p_lm[n] = s
-                p_uv[n] = rec.pt_uv[fi]
-                p_sig[n] = rec.pt_sigma2[fi]
-                p_val[n] = True
-                obs_refs_p.append((p, kfid, fi))
-                n += 1
+        # -- observation rows from the flat tables (vectorized) --
+        tb = mp.pobs
+        psel = (tb.valid[: tb.n] & (slot_of_kf[tb.kf[: tb.n]] >= 0)
+                & (pslot[tb.lm[: tb.n]] >= 0))
+        prows = np.where(psel)[0]
+        if len(prows) > cap_pobs:
+            log.warning("BA point-obs capacity exceeded: %d > %d rows "
+                        "(dropping overflow; raise MapConfig.ba_pobs or "
+                        "use the chunked GBA)", len(prows), cap_pobs)
+            prows = prows[:cap_pobs]
+        n = len(prows)
+        cam_slots = slot_of_kf[tb.kf[prows]]
+        p_cam = np.zeros(cap_pobs, np.int32)
+        p_lm = np.zeros(cap_pobs, np.int32)
+        p_uv = np.zeros((cap_pobs, 2), dtype)
+        p_sig = np.ones(cap_pobs, dtype)
+        p_val = np.zeros(cap_pobs, bool)
+        p_cam[:n] = cam_slots
+        p_lm[:n] = pslot[tb.lm[prows]]
+        p_uv[:n] = kf_pt_uv[cam_slots, tb.fi[prows]]
+        p_sig[:n] = kf_pt_sig[cam_slots, tb.fi[prows]]
+        p_val[:n] = True
 
-        l_cam = np.zeros(cfg.ba_lobs, np.int32)
-        l_lm = np.zeros(cfg.ba_lobs, np.int32)
-        l_sobs = np.zeros((cfg.ba_lobs, 2), dtype)
-        l_eobs = np.zeros((cfg.ba_lobs, 2), dtype)
-        l_sig = np.ones(cfg.ba_lobs, dtype)
-        l_val = np.zeros(cfg.ba_lobs, bool)
-        nl = 0
-        obs_refs_l = []
+        tb = mp.lobs
+        lsel = (tb.valid[: tb.n] & (slot_of_kf[tb.kf[: tb.n]] >= 0)
+                & (lslot[tb.lm[: tb.n]] >= 0))
+        lrows = np.where(lsel)[0]
+
+        l_cam = np.zeros(cap_lobs, np.int32)
+        l_lm = np.zeros(cap_lobs, np.int32)
+        l_sobs = np.zeros((cap_lobs, 2), dtype)
+        l_eobs = np.zeros((cap_lobs, 2), dtype)
+        l_sig = np.ones(cap_lobs, dtype)
+        l_val = np.zeros(cap_lobs, bool)
         p_lo = None
         p_is_line = None
         if cfg.plucker_lines:
-            for p, s in lslot.items():
-                for kfid, fi in mp.ls_obs[p]:
-                    if kfid not in slot_of or nl >= cfg.ba_lobs:
-                        continue
-                    rec = mp.keyframes[kfid]
-                    l_cam[nl] = slot_of[kfid]
-                    l_lm[nl] = s
-                    l_sobs[nl] = rec.ls_sp[fi]
-                    l_eobs[nl] = rec.ls_ep[fi]
-                    l_sig[nl] = rec.ls_sigma2[fi]
-                    l_val[nl] = True
-                    obs_refs_l.append((p, kfid, fi))
-                    nl += 1
+            if len(lrows) > cap_lobs:
+                log.warning("BA line-obs capacity exceeded: %d > %d rows",
+                            len(lrows), cap_lobs)
+                lrows = lrows[:cap_lobs]
+            nl = len(lrows)
+            cam_slots = slot_of_kf[tb.kf[lrows]]
+            l_cam[:nl] = cam_slots
+            l_lm[:nl] = lslot[tb.lm[lrows]]
+            l_sobs[:nl] = kf_ls_sp[cam_slots, tb.fi[lrows]]
+            l_eobs[:nl] = kf_ls_ep[cam_slots, tb.fi[lrows]]
+            l_sig[:nl] = kf_ls_sig[cam_slots, tb.fi[lrows]]
+            l_val[:nl] = True
         else:
             # endpoint mode: each line obs yields two rows of the point
             # table — projected endpoint to observed image line
-            p_lo = np.zeros((cfg.ba_pobs, 3), dtype)
-            p_is_line = np.zeros(cfg.ba_pobs, bool)
-            for p, s in lslot.items():
-                for kfid, fi in mp.ls_obs[p]:
-                    if kfid not in slot_of or n + 1 >= cfg.ba_pobs:
-                        continue
-                    rec = mp.keyframes[kfid]
-                    sp, ep = rec.ls_sp[fi], rec.ls_ep[fi]
-                    lo = np.cross(np.append(sp, 1.0), np.append(ep, 1.0))
-                    nrm = np.hypot(lo[0], lo[1])
-                    if nrm < 1e-9:
-                        continue
-                    lo = lo / nrm
-                    for eslot in (ep_base + 2 * s, ep_base + 2 * s + 1):
-                        p_cam[n] = slot_of[kfid]
-                        p_lm[n] = eslot
-                        p_lo[n] = lo
-                        p_is_line[n] = True
-                        p_sig[n] = rec.ls_sigma2[fi]
-                        p_val[n] = True
-                        n += 1
-                    obs_refs_l.append((p, kfid, fi, n - 2))
+            room = (cap_pobs - n) // 2
+            if len(lrows) > room:
+                log.warning("BA endpoint-line obs overflow: %d > %d",
+                            len(lrows), room)
+                lrows = lrows[:room]
+            cam_slots = slot_of_kf[tb.kf[lrows]]
+            sp = kf_ls_sp[cam_slots, tb.fi[lrows]]
+            ep = kf_ls_ep[cam_slots, tb.fi[lrows]]
+            lo = np.cross(np.concatenate([sp, np.ones_like(sp[:, :1])], 1),
+                          np.concatenate([ep, np.ones_like(ep[:, :1])], 1))
+            nrm = np.hypot(lo[:, 0], lo[:, 1])
+            keep = nrm > 1e-9
+            lrows = lrows[keep]
+            lo = lo[keep] / nrm[keep, None]
+            cam_slots = cam_slots[keep]
+            m = len(lrows)
+            p_lo = np.zeros((cap_pobs, 3), dtype)
+            p_is_line = np.zeros(cap_pobs, bool)
+            sl = lslot[tb.lm[lrows]]
+            r0 = n + 2 * np.arange(m)
+            for off in (0, 1):
+                rr = r0 + off
+                p_cam[rr] = cam_slots
+                p_lm[rr] = ep_base + 2 * sl + off
+                p_lo[rr] = lo
+                p_is_line[rr] = True
+                p_sig[rr] = kf_ls_sig[cam_slots, tb.fi[lrows]]
+                p_val[rr] = True
+            n += 2 * m
 
         prob = ba_mod.BAProblem(
             T_c_w=jnp.asarray(T), pose_fixed=jnp.asarray(pose_fixed),
@@ -721,9 +1054,49 @@ class MapHandler:
             p_is_line=None if p_is_line is None else jnp.asarray(p_is_line),
         )
         meta = dict(local_ids=local_ids, pt_ids=pt_ids, ls_ids=ls_ids,
-                    obs_refs_p=obs_refs_p, obs_refs_l=obs_refs_l,
+                    prows=prows, lrows=lrows,
                     plucker=cfg.plucker_lines, ep_base=ep_base)
         return prob, meta
+
+    def _ba_landmark_ids(self, slotmask: np.ndarray):
+        """Landmarks with >= 2 observations among the selected KFs."""
+        mp = self.map
+        tb = mp.pobs
+        sel = tb.valid[: tb.n] & slotmask[tb.kf[: tb.n]]
+        cnt = np.bincount(tb.lm[: tb.n][sel], minlength=mp.n_pt)
+        pt_ids = np.where(mp.pt_valid & (cnt >= 2))[0]
+        tb = mp.lobs
+        sel = tb.valid[: tb.n] & slotmask[tb.kf[: tb.n]]
+        cnt = np.bincount(tb.lm[: tb.n][sel], minlength=mp.n_ls)
+        ls_ids = np.where(mp.ls_valid & (cnt >= 2))[0]
+        if not self.cfg.use_lines:
+            ls_ids = ls_ids[:0]
+        return pt_ids, ls_ids
+
+    def build_local_ba(self):
+        """Assemble the padded BAProblem over the local map."""
+        cfg = self.cfg
+        mp = self.map
+        local = mp.local_kf_set()
+        local_ids = [k.id for k in mp.keyframes if local[k.id]][-cfg.local_ba_kf:]
+        slotmask = np.zeros(len(mp.keyframes), bool)
+        slotmask[local_ids] = True
+        pt_ids, ls_ids = self._ba_landmark_ids(slotmask)
+        if len(pt_ids) > cfg.ba_points:
+            log.warning("local BA point capacity exceeded: %d > %d "
+                        "(keeping most recent)", len(pt_ids), cfg.ba_points)
+            pt_ids = pt_ids[-cfg.ba_points:]
+        if not cfg.plucker_lines:
+            # endpoint mode: each line takes two 3-DoF point slots
+            room = (cfg.ba_points - len(pt_ids)) // 2
+            ls_ids = ls_ids[-max(room, 0):] if room > 0 else ls_ids[:0]
+        elif len(ls_ids) > cfg.ba_lines:
+            log.warning("local BA line capacity exceeded: %d > %d",
+                        len(ls_ids), cfg.ba_lines)
+            ls_ids = ls_ids[-cfg.ba_lines:]
+        return self._assemble_problem(
+            local_ids, pt_ids, ls_ids, cfg.ba_points, cfg.ba_lines,
+            cfg.ba_pobs, cfg.ba_lobs, fix_rule="local")
 
     def local_bundle_adjustment(self):
         """Run the two-round chi^2-gated BA and write back
@@ -735,6 +1108,58 @@ class MapHandler:
         self._write_back(res, meta)
         return res
 
+    def global_bundle_adjustment(self):
+        """GBA over ALL keyframes and ALL landmarks, tiled over fixed-shape
+        landmark chunks so nothing is silently truncated
+        (globalBundleAdjustment :3022-3126; chunked Schur accumulation is
+        the TPU-shaped equivalent of its all-landmark normal equations)."""
+        cfg = self.cfg
+        mp = self.map
+        if len(mp.keyframes) < 2:
+            return None
+        local_ids = [k.id for k in mp.keyframes if k.active]
+        slotmask = np.zeros(len(mp.keyframes), bool)
+        slotmask[local_ids] = True
+        pt_ids, ls_ids = self._ba_landmark_ids(slotmask)
+
+        cap_p, cap_l = cfg.ba_points, cfg.ba_lines
+        if not cfg.plucker_lines:
+            cap_p_eff = cap_p - 2 * min(cap_l, max(len(ls_ids), 1))
+            cap_p_eff = max(cap_p_eff, cap_p // 2)
+        else:
+            cap_p_eff = cap_p
+        n_chunks = max(1,
+                       -(-len(pt_ids) // cap_p_eff) if len(pt_ids) else 1,
+                       -(-len(ls_ids) // cap_l) if len(ls_ids) else 1)
+        probs, metas = [], []
+        for c in range(n_chunks):
+            pc = pt_ids[c * cap_p_eff: (c + 1) * cap_p_eff]
+            lc = ls_ids[c * cap_l: (c + 1) * cap_l]
+            prob, meta = self._assemble_problem(
+                local_ids, pc, lc, cap_p, cap_l,
+                cfg.ba_pobs, cfg.ba_lobs, fix_rule="kf0")
+            probs.append(prob)
+            metas.append(meta)
+        log.info("GBA: %d KFs, %d points + %d lines in %d chunk(s)",
+                 len(local_ids), len(pt_ids), len(ls_ids), n_chunks)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+        # pose fields are shared, not chunked
+        stacked = stacked._replace(
+            T_c_w=probs[0].T_c_w, pose_fixed=probs[0].pose_fixed,
+            pose_valid=probs[0].pose_valid)
+        res = self._gba_jit(stacked, self.cam, self.ba_cfg)
+        # write back: poses once, landmarks per chunk
+        (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
+            (res.problem.T_c_w, res.problem.points, res.problem.lines_orth,
+             res.problem.lines_scale, res.p_active, res.l_active))
+        for s, kfid in enumerate(local_ids):
+            mp.keyframes[kfid].T_w_k = np.linalg.inv(
+                np.asarray(T_c_w[s], np.float64))
+        for c, meta in enumerate(metas):
+            self._write_back_landmarks(
+                points[c], orth[c], scale[c], p_active[c], l_active[c], meta)
+        return res
+
     def _write_back(self, res: ba_mod.BAResult, meta):
         mp = self.map
         # fetch only the leaves write-back consumes, in one transfer
@@ -744,55 +1169,72 @@ class MapHandler:
         for s, kfid in enumerate(meta["local_ids"]):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T_c_w[s], np.float64))
+        self._write_back_landmarks(points, orth, scale, p_active, l_active,
+                                   meta)
+
+    def _write_back_landmarks(self, points, orth, scale, p_active, l_active,
+                              meta):
+        mp = self.map
+        pt_ids, ls_ids = meta["pt_ids"], meta["ls_ids"]
         points = np.asarray(points)
-        for s, p in enumerate(meta["pt_ids"]):
-            mp.pt_w[p] = points[s]
+        if len(pt_ids):
+            mp.pt_w[pt_ids] = points[: len(pt_ids)]
         if meta.get("plucker", True):
-            if meta["ls_ids"]:
-                nls = len(meta["ls_ids"])
+            if len(ls_ids):
+                nls = len(ls_ids)
                 Lws = np.asarray(_plucker_from_orth_batch(
-                    jnp.asarray(orth[:nls]))) * scale[:nls, None]
-                Lws = _np_normalize_plucker(Lws)
-                for s, p in enumerate(meta["ls_ids"]):
-                    mp.ls_w[p] = Lws[s]
-        else:
+                    jnp.asarray(orth[:nls]))) * np.asarray(scale[:nls])[:, None]
+                mp.ls_w[ls_ids] = _np_normalize_plucker(Lws)
+        elif len(ls_ids):
             # endpoint mode: optimized endpoints come back through the
             # point table; refresh the Pluecker form (n = sP x eP,
             # d = eP - sP, renormalized ||d||=1) for projection-based
             # matching
             ep_base = meta["ep_base"]
-            for s, p in enumerate(meta["ls_ids"]):
-                sP = np.asarray(points[ep_base + 2 * s], np.float64)
-                eP = np.asarray(points[ep_base + 2 * s + 1], np.float64)
-                mp.ls_epw[p] = np.stack([sP, eP])
-                d = eP - sP
-                nd = np.linalg.norm(d)
-                if np.isfinite(nd) and nd > 1e-9:
-                    mp.ls_w[p] = np.concatenate([np.cross(sP, eP) / nd,
-                                                 d / nd])
-        # prune gated-out observations (:6154-6293)
+            sl = np.arange(len(ls_ids))
+            sP = points[ep_base + 2 * sl].astype(np.float64)
+            eP = points[ep_base + 2 * sl + 1].astype(np.float64)
+            mp.ls_epw[ls_ids] = np.stack([sP, eP], axis=1)
+            d = eP - sP
+            nd = np.linalg.norm(d, axis=-1)
+            ok = np.isfinite(nd) & (nd > 1e-9)
+            Lw = np.concatenate([np.cross(sP, eP), d], 1)
+            mp.ls_w[ls_ids[ok]] = Lw[ok] / nd[ok, None]
+        # prune gated-out observations (:6154-6293) with covis decrements
         p_active = np.asarray(p_active)
-        for n, (p, kfid, fi) in enumerate(meta["obs_refs_p"]):
-            if not p_active[n]:
-                try:
-                    mp.pt_obs[p].remove((kfid, fi))
-                    mp.keyframes[kfid].pt_lm[fi] = -1
-                except ValueError:
-                    pass
-        l_active = np.asarray(l_active)
-        for n, ref in enumerate(meta["obs_refs_l"]):
-            if meta.get("plucker", True):
-                p, kfid, fi = ref
-                bad = not l_active[n]
+        prows = meta["prows"]
+        if meta.get("plucker", True):
+            bad_p = prows[~p_active[: len(prows)]]
+            l_active = np.asarray(l_active)
+            lrows = meta["lrows"]
+            bad_l = lrows[~l_active[: len(lrows)]]
+        else:
+            bad_p = prows[~p_active[: len(prows)]]
+            lrows = meta["lrows"]
+            m = len(lrows)
+            pa = p_active[len(prows): len(prows) + 2 * m]
+            ok_l = pa[0::2] & pa[1::2] if m else np.zeros(0, bool)
+            bad_l = lrows[~ok_l]
+        self._prune_obs(bad_p, points_table=True)
+        self._prune_obs(bad_l, points_table=False)
+
+    def _prune_obs(self, rows: np.ndarray, points_table: bool):
+        """Remove observations by obs-table row, resetting the per-KF
+        feature->landmark link."""
+        mp = self.map
+        tb = mp.pobs if points_table else mp.lobs
+        for r in np.asarray(rows, np.int64).tolist():
+            if not tb.valid[r]:
+                continue
+            kfid, fi = int(tb.kf[r]), int(tb.fi[r])
+            if points_table:
+                mp.keyframes[kfid].pt_lm[fi] = -1
             else:
-                p, kfid, fi, row = ref
-                bad = not (p_active[row] and p_active[row + 1])
-            if bad:
-                try:
-                    mp.ls_obs[p].remove((kfid, fi))
-                    mp.keyframes[kfid].ls_lm[fi] = -1
-                except ValueError:
-                    pass
+                mp.keyframes[kfid].ls_lm[fi] = -1
+        if points_table:
+            mp.remove_point_obs_rows(rows)
+        else:
+            mp.remove_line_obs_rows(rows)
 
     # -- culling -----------------------------------------------------------
 
@@ -801,37 +1243,29 @@ class MapHandler:
         than cull_age KFs with fewer than min_lm_obs observations."""
         mp = self.map
         newest = len(mp.keyframes) - 1
-        for i in range(len(mp.pt_valid)):
-            if (mp.pt_valid[i]
-                    and newest - mp.pt_last_kf[i] > self.cfg.cull_age
-                    and len(mp.pt_obs[i]) < self.cfg.min_lm_obs):
-                mp.pt_valid[i] = False
-        for i in range(len(mp.ls_valid)):
-            if (mp.ls_valid[i]
-                    and newest - mp.ls_last_kf[i] > self.cfg.cull_age
-                    and len(mp.ls_obs[i]) < self.cfg.min_lm_obs):
-                mp.ls_valid[i] = False
+        dead = (mp.pt_valid & (newest - mp.pt_last_kf > self.cfg.cull_age)
+                & (mp.pt_nobs < self.cfg.min_lm_obs))
+        mp.pt_valid[dead] = False
+        dead = (mp.ls_valid & (newest - mp.ls_last_kf > self.cfg.cull_age)
+                & (mp.ls_nobs < self.cfg.min_lm_obs))
+        mp.ls_valid[dead] = False
 
     def refresh_landmark_descriptors(self):
         """Median-descriptor election (mapFeatures.cpp
         updateAverageDescDir :52-140): each landmark's representative
         descriptor becomes the observation descriptor with minimal summed
-        Hamming distance to the others.  Batched on device per landmark."""
+        Hamming distance to the others."""
         mp = self.map
-        for lm in range(len(mp.pt_valid)):
-            obs = mp.pt_obs[lm]
-            if not mp.pt_valid[lm] or len(obs) < 3:
-                continue
-            descs = np.stack([self.map.keyframes[k].pt_desc[fi]
-                              for k, fi in obs])
+        for lm in np.where(mp.pt_valid & (mp.pt_nobs >= 3))[0]:
+            kfs, fis = mp.point_obs(lm)
+            descs = np.stack([mp.keyframes[k].pt_desc[f]
+                              for k, f in zip(kfs, fis)])
             D = _np_hamming(descs)
             mp.pt_desc[lm] = descs[int(D.sum(1).argmin())]
-        for lm in range(len(mp.ls_valid)):
-            obs = mp.ls_obs[lm]
-            if not mp.ls_valid[lm] or len(obs) < 3:
-                continue
-            descs = np.stack([self.map.keyframes[k].ls_desc[fi]
-                              for k, fi in obs])
+        for lm in np.where(mp.ls_valid & (mp.ls_nobs >= 3))[0]:
+            kfs, fis = mp.line_obs(lm)
+            descs = np.stack([mp.keyframes[k].ls_desc[f]
+                              for k, f in zip(kfs, fis)])
             D = _np_hamming(descs)
             mp.ls_desc[lm] = descs[int(D.sum(1).argmin())]
 
@@ -844,27 +1278,25 @@ class MapHandler:
         mp = self.map
         k = len(mp.keyframes)
         removed = []
+        active = np.asarray([r.active for r in mp.keyframes])
         for kf in mp.keyframes[1:max(1, k - 2)]:
             if not kf.active:
                 continue
-            lm_ids = [lm for lm in kf.pt_lm if lm >= 0 and mp.pt_valid[lm]]
+            lm_ids = kf.pt_lm[(kf.pt_lm >= 0)]
+            lm_ids = lm_ids[mp.pt_valid[lm_ids]]
             if len(lm_ids) < 10:
                 continue
-            shared = sum(
-                1 for lm in lm_ids
-                if sum(1 for kfi, _ in mp.pt_obs[lm]
-                       if kfi != kf.id and mp.keyframes[kfi].active) >= 2)
+            # per-landmark count of OTHER active observers (flat table)
+            tb = mp.pobs
+            sel = (tb.valid[: tb.n] & (tb.kf[: tb.n] != kf.id)
+                   & active[tb.kf[: tb.n]])
+            cnt = np.bincount(tb.lm[: tb.n][sel], minlength=mp.n_pt)
+            shared = int((cnt[lm_ids] >= 2).sum())
             if shared / len(lm_ids) >= max_common:
                 kf.active = False
+                active[kf.id] = False
                 removed.append(kf.id)
-                for lm in range(len(mp.pt_valid)):
-                    mp.pt_obs[lm] = [(kfi, fi) for kfi, fi in mp.pt_obs[lm]
-                                     if kfi != kf.id]
-                for lm in range(len(mp.ls_valid)):
-                    mp.ls_obs[lm] = [(kfi, fi) for kfi, fi in mp.ls_obs[lm]
-                                     if kfi != kf.id]
-                mp.covis[kf.id, :] = 0
-                mp.covis[:, kf.id] = 0
+                mp.drop_keyframe_obs(kf.id)
         return removed
 
     # -- trajectory export -------------------------------------------------

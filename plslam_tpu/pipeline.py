@@ -178,27 +178,10 @@ class PLSLAM:
         return self.keyframe_trajectory()
 
     def global_bundle_adjustment(self):
-        """GBA = the local BA machinery with every KF local and only KF0
-        fixed (mapHandler.cpp globalBundleAdjustment :3022)."""
-        mp = self.mapper
-        old_cfg = mp.cfg
-        import dataclasses as dc
-
-        k = len(mp.map.keyframes)
-        mp.cfg = dc.replace(
-            old_cfg, local_ba_kf=max(k, old_cfg.local_ba_kf),
-            min_kf_local_map=k + 1)
-        try:
-            prob, meta = mp.build_local_ba()
-            # only KF0 fixed for the global solve
-            fixed = np.zeros(prob.pose_fixed.shape, bool)
-            for s, kfid in enumerate(meta["local_ids"]):
-                fixed[s] = kfid == 0
-            prob = prob._replace(pose_fixed=jnp.asarray(fixed))
-            res = mp._ba_jit(prob, mp.cam, mp.ba_cfg)
-            mp._write_back(res, meta)
-        finally:
-            mp.cfg = old_cfg
+        """GBA over all KFs and ALL landmarks, tiled in fixed-shape chunks
+        with accumulated Schur reduction — no silent truncation
+        (mapHandler.cpp globalBundleAdjustment :3022)."""
+        return self.mapper.global_bundle_adjustment()
 
     def keyframe_trajectory(self):
         return self.mapper.keyframe_trajectory()

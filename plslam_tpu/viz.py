@@ -73,10 +73,11 @@ def plot_map(mapper, path: str, max_points: int = 5000):
     # line landmarks are world Pluecker 6-vectors; draw the segment seen
     # by the last observing keyframe, lifted to world
     n_ls = 0
+    ls_obs = m.ls_obs  # materialize the flat-table view once
     for i in range(len(m.ls_valid)):
-        if not m.ls_valid[i] or not m.ls_obs[i]:
+        if not m.ls_valid[i] or not ls_obs[i]:
             continue
-        kf_id, fi = m.ls_obs[i][-1]
+        kf_id, fi = ls_obs[i][-1]
         kf_rec = m.keyframes[kf_id]
         T = kf_rec.T_w_k
         sp = T[:3, :3] @ kf_rec.ls_sP[fi] + T[:3, 3]

