@@ -53,6 +53,35 @@ class LoopConfig:
     fuse_dist: float = 0.1      # max_point_point_error
 
 
+def build_pgo_edges(covis: np.ndarray, T_old: np.ndarray, covis_th: int,
+                    kf_id: int, cand_id: int, T_rel: np.ndarray):
+    """Pose-graph edge set for a loop closure: consecutive odometry edges,
+    covisibility edges between non-adjacent KFs sharing >= covis_th
+    landmarks (mapHandler.cpp:5380), and the loop edge measured by the
+    verified relative pose.  Identity information on every edge like the
+    reference's g2o edges (:5375-5417) — no ad-hoc up-weighting."""
+    K = len(T_old)
+    e_i, e_j, e_T, e_w = [], [], [], []
+    for i in range(K - 1):
+        e_i.append(i)
+        e_j.append(i + 1)
+        e_T.append(np.linalg.inv(T_old[i]) @ T_old[i + 1])
+        e_w.append(1.0)
+    ii, jj = np.where(np.triu(covis, 2) >= covis_th)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        e_i.append(i)
+        e_j.append(j)
+        e_T.append(np.linalg.inv(T_old[i]) @ T_old[j])
+        e_w.append(1.0)
+    # the loop edge: T_rel maps cand-frame points into kf frame, i.e.
+    # relative pose measurement Z = T_cand^-1 T_kf = inv(T_rel)
+    e_i.append(cand_id)
+    e_j.append(kf_id)
+    e_T.append(np.linalg.inv(T_rel))
+    e_w.append(1.0)
+    return e_i, e_j, e_T, e_w
+
+
 class LoopCloser:
     """Host orchestrator; BoW scoring, matching, GN, and PGO run on device."""
 
@@ -351,35 +380,11 @@ class LoopCloser:
         mp = self.mapper.map
         K = len(mp.keyframes)
         T_old = np.stack([k.T_w_k for k in mp.keyframes])
-        e_i, e_j, e_T, e_w = [], [], [], []
-        # consecutive odometry edges
-        for i in range(K - 1):
-            e_i.append(i)
-            e_j.append(i + 1)
-            e_T.append(np.linalg.inv(T_old[i]) @ T_old[i + 1])
-            e_w.append(1.0)
-        # covisibility edges (covis >= min_lm_cov_graph, :5380)
-        # graph variant (:5070-5299 essential / :5301-5531 covisibility):
-        # the essential graph keeps only strong edges and fixes the LC
-        # target; the covisibility graph fixes only KF0
         essential = self.cfg.pgo_graph == "essential"
         th = (self.cfg.min_lm_ess_graph if essential
               else self.mapper.cfg.min_lm_cov_graph)
-        for i in range(K):
-            for j in range(i + 2, K):
-                if mp.covis[i, j] >= th:
-                    e_i.append(i)
-                    e_j.append(j)
-                    e_T.append(np.linalg.inv(T_old[i]) @ T_old[j])
-                    e_w.append(1.0)
-        # the loop edge: T_rel maps cand-frame points into kf frame, i.e.
-        # T_cand^w-1... relative pose measurement Z = T_cand^-1 T_kf = inv(T_rel).
-        # Identity information like the reference's g2o edges
-        # (mapHandler.cpp:5375-5417) — no ad-hoc up-weighting.
-        e_i.append(cand_id)
-        e_j.append(kf_id)
-        e_T.append(np.linalg.inv(T_rel))
-        e_w.append(1.0)
+        e_i, e_j, e_T, e_w = build_pgo_edges(
+            mp.covis, T_old, th, kf_id, cand_id, T_rel)
 
         fixed = ((jnp.arange(K) == 0) | (jnp.arange(K) == cand_id)
                  if essential else jnp.arange(K) == 0)

@@ -1,0 +1,207 @@
+"""Covisibility-graph semantics, loop-closure fusion, and full-coverage
+chunked GBA (reference behaviors: mapHandler.cpp full_graph increments
+:322-351/:788-789, decrements :2251-2252/:4036-4039, formLocalMap :1005,
+loopClosureFuseLandmarks :5533-5807, globalBundleAdjustment :3022-3126)."""
+
+import numpy as np
+import pytest
+
+from _map_fixtures import World, lateral_poses, make_camera, render_features
+from plslam_tpu.backend.loop import LoopCloser, LoopConfig, build_pgo_edges
+from plslam_tpu.backend.mapping import KeyframeRecord, MapConfig, MapHandler
+
+
+def _build_mapper(n_kf=5, n_pts=120, n_ls=12, step=0.05, run_ba=False,
+                  **cfg_kw):
+    cam = make_camera()
+    world = World(n_pts=n_pts, n_ls=n_ls)
+    cfg = MapConfig(ba_points=2048, ba_pobs=8192, ba_lobs=2048, **cfg_kw)
+    mapper = MapHandler(cam, cfg)
+    poses = lateral_poses(n_kf, step)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=run_ba)
+    return mapper, world, poses
+
+
+def _expected_covis(mp):
+    """Pairwise shared-landmark counts recomputed from the obs tables."""
+    k = len(mp.keyframes)
+    exp = np.zeros((k, k), np.int64)
+    for table, valid in ((mp.pobs, mp.pt_valid), (mp.lobs, mp.ls_valid)):
+        for lm in np.unique(table.lm[: table.n][table.valid[: table.n]]):
+            rows = table.valid[: table.n] & (table.lm[: table.n] == lm)
+            kfs = np.unique(table.kf[: table.n][rows])
+            for a in kfs:
+                for b in kfs:
+                    if a != b:
+                        exp[a, b] += 1
+    return exp
+
+
+def test_covis_counts_every_observer_pair():
+    """covis[i][j] equals the shared-landmark count for EVERY pair — in
+    particular non-adjacent ones like (0, 4) (mapHandler.cpp:322-351)."""
+    mapper, _, _ = _build_mapper()
+    mp = mapper.map
+    exp = _expected_covis(mp)
+    np.testing.assert_array_equal(mp.covis, exp)
+    # the world stays visible across all five KFs, so the far pair is rich
+    assert mp.covis[0, 4] > 75, mp.covis
+    assert (mp.covis == mp.covis.T).all()
+
+
+def test_form_local_map_includes_covisible_kf0():
+    """formLocalMap's covis>=min_lm_cov_graph branch (:1052) pulls KF0 in
+    even though it is far outside the recency window."""
+    mapper, _, _ = _build_mapper(n_kf=6)
+    local = mapper.map.local_kf_set()
+    assert local[0], (local, mapper.map.covis[-1])
+    assert local[-1] and local[-2]
+
+
+def test_pgo_covis_edges_materialize():
+    """A loop closure on this map gets covisibility edges (i, j>=i+2), not
+    just the odometry chain (mapHandler.cpp:5380)."""
+    mapper, _, poses = _build_mapper()
+    mp = mapper.map
+    T_old = np.stack([k.T_w_k for k in mp.keyframes])
+    e_i, e_j, _, _ = build_pgo_edges(
+        mp.covis, T_old, mapper.cfg.min_lm_cov_graph,
+        kf_id=4, cand_id=0, T_rel=np.eye(4))
+    non_adjacent = [(i, j) for i, j in zip(e_i[:-1], e_j[:-1]) if j >= i + 2]
+    assert (0, 4) in non_adjacent, list(zip(e_i, e_j))
+    assert (0, 2) in non_adjacent
+
+
+def test_obs_removal_decrements_covis():
+    """Pruning one keyframe's observation of a shared landmark decrements
+    covis against the remaining observers (:2251-2252)."""
+    mapper, _, _ = _build_mapper(n_kf=3)
+    mp = mapper.map
+    before = mp.covis.copy()
+    # landmark observed by all three KFs; drop KF1's observation
+    tb = mp.pobs
+    for lm in range(mp.n_pt):
+        rows = np.where(tb.valid[: tb.n] & (tb.lm[: tb.n] == lm))[0]
+        if set(tb.kf[rows].tolist()) == {0, 1, 2}:
+            r1 = rows[tb.kf[rows] == 1]
+            mp.remove_point_obs_rows(r1)
+            break
+    else:
+        pytest.fail("no landmark observed by all three KFs")
+    assert mp.covis[0, 1] == before[0, 1] - 1
+    assert mp.covis[1, 2] == before[1, 2] - 1
+    assert mp.covis[0, 2] == before[0, 2]  # pair not involving KF1 untouched
+
+
+def test_kf_cull_clears_covis_row():
+    """removeRedundantKFs clears the culled KF's row/col (:4036-4039)."""
+    mapper, _, _ = _build_mapper(n_kf=5)
+    mp = mapper.map
+    mp.drop_keyframe_obs(2)
+    assert (mp.covis[2, :] == 0).all() and (mp.covis[:, 2] == 0).all()
+    assert mp.covis[0, 4] > 0  # other pairs survive
+
+
+def test_loop_fusion_four_cases_points_and_lines():
+    """loopClosureFuseLandmarks (:5533-5807): extend-old, extend-new,
+    create-new, and fuse-duplicates for BOTH modalities, with observation
+    counts, feature back-links, and covis reconciling afterwards."""
+    cam = make_camera()
+    world = World(n_pts=8, n_ls=8)
+    mapper = MapHandler(cam, MapConfig())
+    mp = mapper.map
+    poses = lateral_poses(2, step=0.04)
+    kf0 = KeyframeRecord(0, poses[0], render_features(world, poses[0], cam))
+    kf1 = KeyframeRecord(1, poses[1], render_features(world, poses[1], cam))
+    mp.keyframes.extend([kf0, kf1])
+    mp.expand_graphs()
+
+    def world_pt(i):
+        return world.pts[i][None]
+
+    # case ext_new: landmark exists only on the old side (KF0 feature 0)
+    kf0.pt_lm[0] = mp.new_points(world_pt(0), world.pt_desc[0][None], 0,
+                                 np.asarray([0]))[0]
+    # case ext_old: landmark exists only on the new side (KF1 feature 1)
+    kf1.pt_lm[1] = mp.new_points(world_pt(1), world.pt_desc[1][None], 1,
+                                 np.asarray([1]))[0]
+    # case created: feature 2 has no landmark on either side
+    # case fused: both sides carry separate duplicates of feature 3
+    kf0.pt_lm[3] = mp.new_points(world_pt(3), world.pt_desc[3][None], 0,
+                                 np.asarray([3]))[0]
+    kf1.pt_lm[3] = mp.new_points(world_pt(3), world.pt_desc[3][None], 1,
+                                 np.asarray([3]))[0]
+
+    from plslam_tpu.backend.mapping import (_np_normalize_plucker,
+                                            _np_transform_plucker)
+
+    def world_line(i, kf, feat_idx, kf_rec):
+        Lw = _np_normalize_plucker(_np_transform_plucker(
+            kf_rec.T_w_k, kf_rec.ls_NDc[feat_idx][None]))
+        R, t = kf_rec.T_w_k[:3, :3], kf_rec.T_w_k[:3, 3]
+        ep_w = np.stack([kf_rec.ls_sP[feat_idx] @ R.T + t,
+                         kf_rec.ls_eP[feat_idx] @ R.T + t])[None]
+        return mp.new_lines(Lw, world.ls_desc[i][None], kf,
+                            np.asarray([feat_idx]), ep_w)[0]
+
+    kf0.ls_lm[0] = world_line(0, 0, 0, kf0)
+    kf1.ls_lm[1] = world_line(1, 1, 1, kf1)
+    kf0.ls_lm[3] = world_line(3, 0, 3, kf0)
+    kf1.ls_lm[3] = world_line(3, 1, 3, kf1)
+
+    pt_pairs = np.asarray([[0, 0], [1, 1], [2, 2], [3, 3]])
+    ls_pairs = np.asarray([[0, 0], [1, 1], [2, 2], [3, 3]])
+    lc = LoopCloser(cam, mapper, LoopConfig())
+    stats = lc._fuse_landmarks(1, 0, pt_pairs, ls_pairs)
+    # one of each case per modality
+    assert stats == {"ext_old": 2, "ext_new": 2, "created": 2, "fused": 2}
+
+    for i in range(4):
+        # both sides now link to ONE live landmark with two observations
+        assert kf0.pt_lm[i] == kf1.pt_lm[i] >= 0
+        lm = kf0.pt_lm[i]
+        assert mp.pt_valid[lm] and mp.pt_nobs[lm] == 2
+        kfs, fis = mp.point_obs(lm)
+        assert sorted(kfs.tolist()) == [0, 1]
+        assert kf0.ls_lm[i] == kf1.ls_lm[i] >= 0
+        lm = kf0.ls_lm[i]
+        assert mp.ls_valid[lm] and mp.ls_nobs[lm] == 2
+    # the fused-away duplicates are dead
+    assert mp.pt_valid.sum() == 4 and mp.ls_valid.sum() == 4
+    assert mp.n_pt == 5 and mp.n_ls == 5
+    # every fusion case shares exactly one landmark between KF0 and KF1
+    assert mp.covis[0, 1] == 8, mp.covis
+
+
+def test_gba_covers_whole_map_in_chunks():
+    """GBA over > ba_points landmarks and > ba_pobs observations updates
+    EVERY eligible landmark — no silent truncation (VERDICT round-1 weak
+    #2; globalBundleAdjustment :3022-3126)."""
+    cam = make_camera()
+    world = World(n_pts=1200, n_ls=20, seed=7)
+    cfg = MapConfig(ba_points=512, ba_lines=64, ba_pobs=3072, ba_lobs=512)
+    mapper = MapHandler(cam, cfg)
+    poses = lateral_poses(5, step=0.05)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
+    mp = mapper.map
+    eligible = np.where(mp.pt_valid & (mp.pt_nobs >= 2))[0]
+    assert len(eligible) > 2 * cfg.ba_points  # forces >2 chunks
+    n_obs = int(mp.pobs.valid[: mp.pobs.n].sum())
+    assert n_obs > cfg.ba_pobs
+
+    rng = np.random.default_rng(0)
+    truth = mp.pt_w[eligible].copy()
+    mp.pt_w[eligible] = truth + rng.normal(0, 0.05, truth.shape)
+    pre = mp.pt_w[eligible].copy()
+    mapper.global_bundle_adjustment()
+    post = mp.pt_w[eligible]
+    moved = np.linalg.norm(post - pre, axis=1) > 1e-7
+    assert moved.mean() > 0.99, f"only {moved.mean():.2%} updated"
+    # and moved TOWARD the truth
+    err_pre = np.linalg.norm(pre - truth, axis=1)
+    err_post = np.linalg.norm(post - truth, axis=1)
+    assert np.median(err_post) < 0.2 * np.median(err_pre)
