@@ -38,6 +38,7 @@ from ..core.plucker import (
     orth_plus,
     orth_to_plucker,
     plucker_motion_matrix,
+    plucker_to_orth,
 )
 
 CHI2_TH = 5.991  # 2-DoF chi-square 95% gate (mapHandler.cpp:5978, :6131)
@@ -576,3 +577,144 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
     T, state, cost = rounds(T, state, p_act, l_act, cfg.iters2, robust=True)
     out = prob._replace(T_c_w=T, points=state[0], lines_orth=state[1])
     return BAResult(problem=out, p_active=p_act, l_active=l_act, cost=cost)
+
+
+# ---------------------------------------------------------------------------
+# Packed transport: the local-BA hot path on a remote-dispatch runtime
+# ---------------------------------------------------------------------------
+# A BAProblem has ~22 leaves; uploading each separately costs ~10 ms of
+# transfer latency apiece on the tunneled TPU runtime (measured: 268 ms to
+# stage one local-BA problem).  The packed entry ships THREE dense buffers
+# (f32 / i32 / bool), slices them back into a BAProblem inside the trace
+# (free), and returns ONE f32 buffer with everything write-back consumes.
+
+
+class ProblemLayout(NamedTuple):
+    K: int
+    P: int
+    L: int
+    Np: int
+    Nl: int
+    has_lo: bool
+    # lines travel as normalized (||d||=1) world Pluecker 6-vectors and the
+    # orth conversion happens IN-TRACE — a host-side conversion is an extra
+    # device round trip (~150-300 ms) per BA on the remote runtime
+    plucker_io: bool = False
+
+
+def pack_problem_np(p: "BAProblem", lines_plucker=None):
+    """Flatten a numpy-leaved BAProblem into (f32, i32, bool) buffers.
+    With ``lines_plucker`` (L, 6, ||d||=1), the line state ships raw and
+    both directions of the orth conversion run inside the trace."""
+    import numpy as np
+
+    lay = ProblemLayout(K=p.T_c_w.shape[0], P=p.points.shape[0],
+                        L=p.lines_orth.shape[0], Np=p.p_cam.shape[0],
+                        Nl=p.l_cam.shape[0], has_lo=p.p_lo is not None,
+                        plucker_io=lines_plucker is not None)
+    lines_f = ([lines_plucker.ravel()] if lay.plucker_io
+               else [p.lines_orth.ravel(), p.lines_scale.ravel()])
+    f = [p.T_c_w.ravel(), p.points.ravel(), *lines_f,
+         p.p_uv.ravel(), p.p_sigma2.ravel(),
+         p.l_sobs.ravel(), p.l_eobs.ravel(), p.l_sigma2.ravel()]
+    if lay.has_lo:
+        f.append(p.p_lo.ravel())
+    i = [p.p_cam.ravel(), p.p_lm.ravel(), p.l_cam.ravel(), p.l_lm.ravel()]
+    b = [p.pose_fixed, p.pose_valid, p.point_valid, p.line_valid,
+         p.p_valid, p.l_valid]
+    if lay.has_lo:
+        b.append(p.p_is_line)
+    return (np.concatenate(f).astype(np.float32),
+            np.concatenate(i).astype(np.int32),
+            np.concatenate(b).astype(bool), lay)
+
+
+def unpack_problem(f: jax.Array, i: jax.Array, b: jax.Array,
+                   lay: ProblemLayout) -> BAProblem:
+    K, P, L, Np, Nl = lay.K, lay.P, lay.L, lay.Np, lay.Nl
+
+    def take(buf, pos, n, shape):
+        return buf[pos: pos + n].reshape(shape), pos + n
+
+    pos = 0
+    T, pos = take(f, pos, K * 16, (K, 4, 4))
+    points, pos = take(f, pos, P * 3, (P, 3))
+    if lay.plucker_io:
+        Lw, pos = take(f, pos, L * 6, (L, 6))
+        scale = jnp.linalg.norm(Lw, axis=-1)
+        safe = jnp.maximum(scale, 1e-12)[:, None]
+        orth = jax.vmap(plucker_to_orth)(Lw / safe)
+    else:
+        orth, pos = take(f, pos, L * 4, (L, 4))
+        scale, pos = take(f, pos, L, (L,))
+    p_uv, pos = take(f, pos, Np * 2, (Np, 2))
+    p_sig, pos = take(f, pos, Np, (Np,))
+    l_sobs, pos = take(f, pos, Nl * 2, (Nl, 2))
+    l_eobs, pos = take(f, pos, Nl * 2, (Nl, 2))
+    l_sig, pos = take(f, pos, Nl, (Nl,))
+    p_lo = None
+    if lay.has_lo:
+        p_lo, pos = take(f, pos, Np * 3, (Np, 3))
+    ipos = 0
+    p_cam, ipos = take(i, ipos, Np, (Np,))
+    p_lm, ipos = take(i, ipos, Np, (Np,))
+    l_cam, ipos = take(i, ipos, Nl, (Nl,))
+    l_lm, ipos = take(i, ipos, Nl, (Nl,))
+    bpos = 0
+    pose_fixed, bpos = take(b, bpos, K, (K,))
+    pose_valid, bpos = take(b, bpos, K, (K,))
+    point_valid, bpos = take(b, bpos, P, (P,))
+    line_valid, bpos = take(b, bpos, L, (L,))
+    p_valid, bpos = take(b, bpos, Np, (Np,))
+    l_valid, bpos = take(b, bpos, Nl, (Nl,))
+    p_is_line = None
+    if lay.has_lo:
+        p_is_line, bpos = take(b, bpos, Np, (Np,))
+    return BAProblem(
+        T_c_w=T, pose_fixed=pose_fixed, pose_valid=pose_valid,
+        points=points, point_valid=point_valid, lines_orth=orth,
+        lines_scale=scale, line_valid=line_valid,
+        p_cam=p_cam, p_lm=p_lm, p_uv=p_uv, p_sigma2=p_sig, p_valid=p_valid,
+        l_cam=l_cam, l_lm=l_lm, l_sobs=l_sobs, l_eobs=l_eobs,
+        l_sigma2=l_sig, l_valid=l_valid, p_lo=p_lo, p_is_line=p_is_line)
+
+
+def bundle_adjust_packed(f: jax.Array, i: jax.Array, b: jax.Array,
+                         cam: StereoCamera, cfg: BAConfig,
+                         lay: ProblemLayout) -> jax.Array:
+    """bundle_adjust over packed buffers; returns one f32 result buffer:
+    [T' (K*16) | points' (P*3) | orth' (L*4) | p_active (Np) | l_active (Nl)]."""
+    prob = unpack_problem(f, i, b, lay)
+    res = bundle_adjust(prob, cam, cfg)
+    if lay.plucker_io:
+        # return normalized (||d||=1) world Pluecker directly — the
+        # optimizer's 6-vec scale cancels in that normalization
+        Lw = jax.vmap(orth_to_plucker)(res.problem.lines_orth)
+        dn = jnp.maximum(jnp.linalg.norm(Lw[:, 3:], axis=-1), 1e-12)
+        lines_out = (Lw / dn[:, None]).ravel()
+    else:
+        lines_out = res.problem.lines_orth.ravel()
+    out = jnp.concatenate([
+        res.problem.T_c_w.ravel(), res.problem.points.ravel(),
+        lines_out,
+        res.p_active.astype(jnp.float32),
+        res.l_active.astype(jnp.float32),
+        res.cost.astype(jnp.float32)[None]])
+    return out
+
+
+def unpack_result_np(out, lay: ProblemLayout):
+    """Host-side split of the packed result buffer."""
+    import numpy as np
+
+    out = np.asarray(out)
+    K, P, L, Np, Nl = lay.K, lay.P, lay.L, lay.Np, lay.Nl
+    pos = 0
+    T = out[pos: pos + K * 16].reshape(K, 4, 4); pos += K * 16
+    points = out[pos: pos + P * 3].reshape(P, 3); pos += P * 3
+    ld = 6 if lay.plucker_io else 4
+    orth = out[pos: pos + L * ld].reshape(L, ld); pos += L * ld
+    p_active = out[pos: pos + Np] > 0.5; pos += Np
+    l_active = out[pos: pos + Nl] > 0.5; pos += Nl
+    cost = float(out[pos])
+    return T, points, orth, p_active, l_active, cost

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +37,21 @@ from ..core.plucker import (
     orth_to_plucker,
     transform_plucker,
 )
-from ..frontend.features import StereoFeatures
+from ..frontend.features import LineSet, PointSet, StereoFeatures
 from ..ops import matching as M
 from . import ba as ba_mod
 
 log = logging.getLogger("plslam")
+
+
+class LocalBAResult(NamedTuple):
+    """Host-side summary of one local-BA solve (packed transport)."""
+
+    T_c_w: np.ndarray
+    points: np.ndarray
+    p_active: np.ndarray
+    l_active: np.ndarray
+    cost: float
 
 CHI2_GATE = 5.991  # mapHandler.cpp:489, :6131
 
@@ -74,33 +84,77 @@ class MapConfig:
     ba_lobs: int = 1024
 
 
+@jax.jit
+def _pack_feats(feats: StereoFeatures):
+    """Flatten a feature pytree into ONE dense f32 buffer so the host copy
+    costs one transfer, not ~24 (each transfer carries ~10 ms latency on
+    the remote runtime).  Descriptors ride along bitcast to f32."""
+    p, l = feats.points, feats.lines
+    fp = jnp.concatenate([p.uv, p.P, p.sigma2[:, None],
+                          p.valid.astype(jnp.float32)[:, None]], axis=1)
+    fl = jnp.concatenate([l.sp, l.ep, l.sP, l.eP, l.NDc, l.sigma2[:, None],
+                          l.valid.astype(jnp.float32)[:, None]], axis=1)
+    desc = jax.lax.bitcast_convert_type(
+        jnp.concatenate([p.desc, l.desc], axis=0), jnp.float32)
+    return jnp.concatenate([fp.ravel(), fl.ravel(), desc.ravel()])
+
+
 class KeyframeRecord:
     """Host-side record of one keyframe (deep copy of the frame's features,
-    keyFrame.cpp:31-79)."""
+    keyFrame.cpp:31-79).  The original device pytree is kept in ``dev`` so
+    association programs read features that are ALREADY device-resident —
+    re-uploading them costs ~130 ms/KF in transfer latency."""
 
     def __init__(self, kf_id: int, pose: np.ndarray, feats: StereoFeatures):
         self.id = kf_id
         self.active = True
         self.T_w_k = pose.astype(np.float64)        # camera -> world
-        # ONE device_get for the whole feature pytree: fifteen separate
-        # np.asarray transfers cost ~300 ms/KF in per-transfer latency on
-        # the remote runtime
-        f = jax.device_get(feats)
-        self.pt_uv = np.asarray(f.points.uv)
-        self.pt_P = np.asarray(f.points.P)
-        self.pt_desc = np.asarray(f.points.desc)
-        self.pt_sigma2 = np.asarray(f.points.sigma2)
-        self.pt_valid = np.asarray(f.points.valid)
-        self.pt_lm = np.full(len(self.pt_uv), -1, np.int64)
-        self.ls_sp = np.asarray(f.lines.sp)
-        self.ls_ep = np.asarray(f.lines.ep)
-        self.ls_sP = np.asarray(f.lines.sP)
-        self.ls_eP = np.asarray(f.lines.eP)
-        self.ls_NDc = np.asarray(f.lines.NDc)
-        self.ls_desc = np.asarray(f.lines.desc)
-        self.ls_sigma2 = np.asarray(f.lines.sigma2)
-        self.ls_valid = np.asarray(f.lines.valid)
-        self.ls_lm = np.full(len(self.ls_sp), -1, np.int64)
+        self.dev = feats
+        n_pt = feats.points.uv.shape[0]
+        n_ls = feats.lines.sp.shape[0]
+        buf = np.asarray(jax.device_get(_pack_feats(feats)))
+        fp = buf[: n_pt * 7].reshape(n_pt, 7)
+        fl = buf[n_pt * 7: n_pt * 7 + n_ls * 18].reshape(n_ls, 18)
+        desc = buf[n_pt * 7 + n_ls * 18:].reshape(n_pt + n_ls, 8).view(
+            np.uint32)
+        self.pt_uv = fp[:, 0:2]
+        self.pt_P = fp[:, 2:5]
+        self.pt_sigma2 = fp[:, 5]
+        self.pt_valid = fp[:, 6] > 0.5
+        self.pt_desc = np.asarray(desc[:n_pt])
+        self.pt_lm = np.full(n_pt, -1, np.int64)
+        self.ls_sp = fl[:, 0:2]
+        self.ls_ep = fl[:, 2:4]
+        self.ls_sP = fl[:, 4:7]
+        self.ls_eP = fl[:, 7:10]
+        self.ls_NDc = fl[:, 10:16]
+        self.ls_sigma2 = fl[:, 16]
+        self.ls_valid = fl[:, 17] > 0.5
+        self.ls_desc = np.asarray(desc[n_pt:])
+        self.ls_lm = np.full(len(fl), -1, np.int64)
+
+    def dev_feats(self) -> StereoFeatures:
+        """Device-resident features; rebuilt (once) from the host copy for
+        checkpoint-restored records."""
+        if getattr(self, "dev", None) is None:
+            n, m = len(self.pt_uv), len(self.ls_sp)
+            pts = PointSet.empty(n)._replace(
+                uv=jnp.asarray(self.pt_uv, jnp.float32),
+                P=jnp.asarray(self.pt_P, jnp.float32),
+                desc=jnp.asarray(self.pt_desc),
+                sigma2=jnp.asarray(self.pt_sigma2, jnp.float32),
+                valid=jnp.asarray(self.pt_valid))
+            ls = LineSet.empty(m)._replace(
+                sp=jnp.asarray(self.ls_sp, jnp.float32),
+                ep=jnp.asarray(self.ls_ep, jnp.float32),
+                sP=jnp.asarray(self.ls_sP, jnp.float32),
+                eP=jnp.asarray(self.ls_eP, jnp.float32),
+                NDc=jnp.asarray(self.ls_NDc, jnp.float32),
+                desc=jnp.asarray(self.ls_desc),
+                sigma2=jnp.asarray(self.ls_sigma2, jnp.float32),
+                valid=jnp.asarray(self.ls_valid))
+            self.dev = StereoFeatures(points=pts, lines=ls)
+        return self.dev
 
 
 def _grow(buf: np.ndarray, need: int) -> np.ndarray:
@@ -498,7 +552,8 @@ class MapHandler:
         self.ba_cfg = ba_cfg or ba_mod.BAConfig()
         self.tracker_cfg = tracker_cfg  # for hasRefinement; None = defaults
         self.map = SlamMap(cfg)
-        self._ba_jit = jax.jit(ba_mod.bundle_adjust, static_argnums=2)
+        self._ba_packed = jax.jit(ba_mod.bundle_adjust_packed,
+                                   static_argnums=(4, 5))
         self._gba_jit = jax.jit(ba_mod.bundle_adjust_chunked,
                                 static_argnums=2)
         self._refine_jit = None  # built lazily (has_refinement only)
@@ -511,8 +566,10 @@ class MapHandler:
         sim_ = self.cfg.line_sim_th
 
         def _kf2kf_prog(T_rel, pP, pdesc, pvalid, kdesc, kuv, kvalid,
-                        pls_desc, pls_mid, pls_valid,
-                        kls_desc, kls_mid, kls_valid):
+                        pls_desc, pls_sp, pls_ep, pls_valid,
+                        kls_desc, kls_sp, kls_ep, kls_valid):
+            pls_mid = 0.5 * (pls_sp + pls_ep)
+            kls_mid = 0.5 * (kls_sp + kls_ep)
             Pc = lie.transform_point(T_rel, pP)
             proj = cam_.project(Pc)
             ok_prev = pvalid & (Pc[..., 2] > 0)
@@ -523,11 +580,11 @@ class MapHandler:
             mask_g = ok_prev[:, None] & kvalid[None, :]
             m_g = M.match_descriptors(pdesc, kdesc, mask_g, nnr_)
             if not use_lines_:  # static: line work dropped at trace time
-                return m_w.idx, m_g.idx, None
+                return jnp.concatenate([m_w.idx, m_g.idx])
             lmask = M.window_pair_mask(pls_mid, kls_mid, pls_valid,
                                        kls_valid, win_ * 2.0, win_ * 2.0)
             m_l = M.match_descriptors(pls_desc, kls_desc, lmask, nnr_)
-            return m_w.idx, m_g.idx, m_l.idx
+            return jnp.concatenate([m_w.idx, m_g.idx, m_l.idx])
 
         self._kf2kf_prog = jax.jit(_kf2kf_prog)
 
@@ -539,10 +596,18 @@ class MapHandler:
             nrm = jnp.hypot(l[..., 0], l[..., 1])
             return l / jnp.maximum(nrm, 1e-9)[..., None]
 
-        def _map2kf_prog(T_c_w, candP, cand_desc, cand_valid,
-                         kdesc, kuv, kfree,
-                         cand_sPw, cand_ePw, lcand_desc, lcand_valid,
-                         kls_sp, kls_ep, kls_desc, kls_free):
+        def _map2kf_prog(T_c_w, cpack, dpack, vpack,
+                         kdesc, kuv, kls_sp, kls_ep, kls_desc, nb, nbl):
+            candP = cpack[:nb]
+            cand_sPw = cpack[nb:nb + nbl]
+            cand_ePw = cpack[nb + nbl:]
+            cand_desc = dpack[:nb]
+            lcand_desc = dpack[nb:]
+            nk = kdesc.shape[0]
+            cand_valid = vpack[:nb]
+            lcand_valid = vpack[nb:nb + nbl]
+            kfree = vpack[nb + nbl:nb + nbl + nk]
+            kls_free = vpack[nb + nbl + nk:]
             # -- points (matchMap2KFPoints :697-797) --
             Pc = lie.transform_point(T_c_w, candP)
             proj = cam_.project(Pc)
@@ -555,7 +620,7 @@ class MapHandler:
             safe = jnp.maximum(m.idx, 0)
             p_err = jnp.linalg.norm(proj - kuv[safe], axis=-1)
             if not use_lines_:
-                return m.idx, p_err, None, None, None
+                return jnp.concatenate([m.idx.astype(jnp.float32), p_err])
             # -- lines (matchMap2KFLines :799-921): project world
             # endpoints, inside-image gate, grid-window (midpoint
             # proximity) + direction cosine filter, mutual NNR, and the
@@ -597,10 +662,13 @@ class MapHandler:
                               + lsel[..., 1] * epf[..., 1] + lsel[..., 2])
                 return jnp.maximum(e_s, e_e)
 
-            return m.idx, p_err, m_l.idx, m_lg.idx, (_errs(m_l.idx),
-                                                     _errs(m_lg.idx))
+            return jnp.concatenate([
+                m.idx.astype(jnp.float32), p_err,
+                m_l.idx.astype(jnp.float32), m_lg.idx.astype(jnp.float32),
+                _errs(m_l.idx), _errs(m_lg.idx)])
 
-        self._map2kf_prog = jax.jit(_map2kf_prog)
+        self._map2kf_prog = jax.jit(_map2kf_prog,
+                                    static_argnums=(9, 10))
 
     # -- public API (mapHandler.cpp initialize :50 / addKeyFrame :121) ----
 
@@ -641,18 +709,19 @@ class MapHandler:
         T_c_w_new = np.linalg.inv(kf.T_w_k)
         T_rel = T_c_w_new @ prev.T_w_k  # prev-cam -> new-cam
 
-        # one device program + one fetch for both modalities
-        idx_w, idx_g, idx_l = jax.device_get(self._kf2kf_prog(
-            jnp.asarray(T_rel, jnp.float32), jnp.asarray(prev.pt_P),
-            jnp.asarray(prev.pt_desc), jnp.asarray(prev.pt_valid),
-            jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
-            jnp.asarray(kf.pt_valid),
-            jnp.asarray(prev.ls_desc),
-            jnp.asarray(0.5 * (prev.ls_sp + prev.ls_ep)),
-            jnp.asarray(prev.ls_valid),
-            jnp.asarray(kf.ls_desc),
-            jnp.asarray(0.5 * (kf.ls_sp + kf.ls_ep)),
-            jnp.asarray(kf.ls_valid)))
+        # one device program + one fetch for both modalities; feature
+        # arrays are device-resident (KeyframeRecord.dev) — only the 4x4
+        # relative pose is uploaded
+        dp, dk = prev.dev_feats(), kf.dev_feats()
+        buf = np.asarray(jax.device_get(self._kf2kf_prog(
+            jnp.asarray(T_rel, jnp.float32), dp.points.P,
+            dp.points.desc, dp.points.valid,
+            dk.points.desc, dk.points.uv, dk.points.valid,
+            dp.lines.desc, dp.lines.sp, dp.lines.ep, dp.lines.valid,
+            dk.lines.desc, dk.lines.sp, dk.lines.ep, dk.lines.valid)))
+        n = len(prev.pt_valid)
+        idx_w, idx_g = buf[:n], buf[n: 2 * n]
+        idx_l = buf[2 * n:] if self.cfg.use_lines else None
         # windowed -> global fallback when too few matches (:277-281)
         idx = idx_w if (idx_w >= 0).sum() >= self.cfg.min_pt_matches else idx_g
 
@@ -797,20 +866,33 @@ class MapHandler:
         nbl = _pad_bucket(len(cand_l), lo=64)
         free = kf.pt_valid & (kf.pt_lm < 0)
         free_l = kf.ls_valid & (kf.ls_lm < 0)
-        out = jax.device_get(self._map2kf_prog(
+        dk = kf.dev_feats()
+        # pack the candidate-landmark payload into one f32 block + one
+        # desc block + one valid block (3 uploads instead of 8)
+        cpack = np.zeros((nb + 2 * nbl, 3), np.float32)
+        cpack[:nb] = _pad_rows(mp.pt_w[cand], nb)
+        cpack[nb:nb + nbl] = _pad_rows(mp.ls_epw[cand_l, 0], nbl)
+        cpack[nb + nbl:] = _pad_rows(mp.ls_epw[cand_l, 1], nbl)
+        dpack = np.zeros((nb + nbl, 8), np.uint32)
+        dpack[:nb] = _pad_rows(mp.pt_desc[cand], nb)
+        dpack[nb:] = _pad_rows(mp.ls_desc[cand_l], nbl)
+        vpack = np.zeros(nb + nbl + len(free) + len(free_l), bool)
+        vpack[:nb] = np.arange(nb) < len(cand)
+        vpack[nb:nb + nbl] = np.arange(nbl) < len(cand_l)
+        vpack[nb + nbl:nb + nbl + len(free)] = free
+        vpack[nb + nbl + len(free):] = free_l
+        buf = np.asarray(jax.device_get(self._map2kf_prog(
             jnp.asarray(T_c_w, jnp.float32),
-            jnp.asarray(_pad_rows(mp.pt_w[cand], nb)),
-            jnp.asarray(_pad_rows(mp.pt_desc[cand], nb)),
-            jnp.asarray(np.arange(nb) < len(cand)),
-            jnp.asarray(kf.pt_desc), jnp.asarray(kf.pt_uv),
-            jnp.asarray(free),
-            jnp.asarray(_pad_rows(mp.ls_epw[cand_l, 0], nbl)),
-            jnp.asarray(_pad_rows(mp.ls_epw[cand_l, 1], nbl)),
-            jnp.asarray(_pad_rows(mp.ls_desc[cand_l], nbl)),
-            jnp.asarray(np.arange(nbl) < len(cand_l)),
-            jnp.asarray(kf.ls_sp), jnp.asarray(kf.ls_ep),
-            jnp.asarray(kf.ls_desc), jnp.asarray(free_l)))
-        idx, p_err, idx_l, idx_lg, l_errs = out
+            jnp.asarray(cpack), jnp.asarray(dpack), jnp.asarray(vpack),
+            dk.points.desc, dk.points.uv,
+            dk.lines.sp, dk.lines.ep, dk.lines.desc, nb, nbl)))
+        idx = buf[:nb].astype(np.int64)
+        p_err = buf[nb: 2 * nb]
+        if use_lines:
+            idx_l = buf[2 * nb: 2 * nb + nbl].astype(np.int64)
+            idx_lg = buf[2 * nb + nbl: 2 * nb + 2 * nbl].astype(np.int64)
+            l_errs = (buf[2 * nb + 2 * nbl: 2 * nb + 3 * nbl],
+                      buf[2 * nb + 3 * nbl:])
         if len(cand):
             idx = idx[: len(cand)].astype(np.int64)
             p_err = p_err[: len(cand)]
@@ -889,7 +971,8 @@ class MapHandler:
     def _assemble_problem(self, local_ids: list[int], pt_ids: np.ndarray,
                           ls_ids: np.ndarray, cap_pts: int, cap_ls: int,
                           cap_pobs: int, cap_lobs: int,
-                          fix_rule: str = "local"):
+                          fix_rule: str = "local",
+                          cap_k: int | None = None):
         """Build one padded BAProblem over the given keyframes/landmarks —
         the array-ized localBundleAdjustmentForPlukerWithG2O graph build
         (:5870-6049).  Vectorized over the flat observation tables.
@@ -898,7 +981,10 @@ class MapHandler:
         'kf0' fixes only KF0 (GBA, :3022)."""
         cfg = self.cfg
         mp = self.map
-        K = max(len(local_ids), 1)
+        # pad the pose axis to a STATIC capacity: a dynamic K recompiles
+        # the jitted BA every time the local window grows (measured ~1 s/KF
+        # of recompilation on the remote runtime)
+        K = cap_k if cap_k is not None else max(len(local_ids), 1)
         slot_of_kf = np.full(len(mp.keyframes), -1, np.int64)
         slot_of_kf[local_ids] = np.arange(len(local_ids))
 
@@ -935,16 +1021,14 @@ class MapHandler:
         lines_orth = np.zeros((cap_ls, 4), dtype)
         lines_scale = np.ones(cap_ls, dtype)
         line_valid = np.zeros(cap_ls, bool)
+        lines_plucker = None
         ep_base = len(pt_ids)  # first endpoint slot in the point table
         if cfg.plucker_lines and len(ls_ids):
-            # one batched device call for ALL orth conversions (a per-line
-            # eager op would be dispatch-bound on the remote TPU)
-            Lws = mp.ls_w[ls_ids]
-            scales = np.linalg.norm(Lws, axis=-1)
-            orths = np.asarray(_orth_batch(
-                jnp.asarray(Lws / scales[:, None])))
-            lines_orth[: len(ls_ids)] = orths
-            lines_scale[: len(ls_ids)] = scales
+            # ship raw normalized Pluecker; the packed BA converts to orth
+            # IN-TRACE (a host-side batched conversion costs a device
+            # round trip per BA on the remote runtime)
+            lines_plucker = np.zeros((cap_ls, 6), dtype)
+            lines_plucker[: len(ls_ids)] = mp.ls_w[ls_ids]
             line_valid[: len(ls_ids)] = True
         elif len(ls_ids):
             # endpoint mode: each line takes two 3-DoF slots of the point
@@ -1037,24 +1121,21 @@ class MapHandler:
                 p_val[rr] = True
             n += 2 * m
 
+        # numpy-leaved problem: the local-BA hot path ships it as three
+        # packed buffers (ba.pack_problem_np), GBA stacks chunks first
         prob = ba_mod.BAProblem(
-            T_c_w=jnp.asarray(T), pose_fixed=jnp.asarray(pose_fixed),
-            pose_valid=jnp.asarray(pose_valid),
-            points=jnp.asarray(points), point_valid=jnp.asarray(point_valid),
-            lines_orth=jnp.asarray(lines_orth),
-            lines_scale=jnp.asarray(lines_scale),
-            line_valid=jnp.asarray(line_valid),
-            p_cam=jnp.asarray(p_cam), p_lm=jnp.asarray(p_lm),
-            p_uv=jnp.asarray(p_uv), p_sigma2=jnp.asarray(p_sig),
-            p_valid=jnp.asarray(p_val),
-            l_cam=jnp.asarray(l_cam), l_lm=jnp.asarray(l_lm),
-            l_sobs=jnp.asarray(l_sobs), l_eobs=jnp.asarray(l_eobs),
-            l_sigma2=jnp.asarray(l_sig), l_valid=jnp.asarray(l_val),
-            p_lo=None if p_lo is None else jnp.asarray(p_lo),
-            p_is_line=None if p_is_line is None else jnp.asarray(p_is_line),
+            T_c_w=T, pose_fixed=pose_fixed, pose_valid=pose_valid,
+            points=points, point_valid=point_valid,
+            lines_orth=lines_orth, lines_scale=lines_scale,
+            line_valid=line_valid,
+            p_cam=p_cam, p_lm=p_lm, p_uv=p_uv, p_sigma2=p_sig,
+            p_valid=p_val,
+            l_cam=l_cam, l_lm=l_lm, l_sobs=l_sobs, l_eobs=l_eobs,
+            l_sigma2=l_sig, l_valid=l_val,
+            p_lo=p_lo, p_is_line=p_is_line,
         )
         meta = dict(local_ids=local_ids, pt_ids=pt_ids, ls_ids=ls_ids,
-                    prows=prows, lrows=lrows,
+                    prows=prows, lrows=lrows, lines_plucker=lines_plucker,
                     plucker=cfg.plucker_lines, ep_base=ep_base)
         return prob, meta
 
@@ -1094,19 +1175,56 @@ class MapHandler:
             log.warning("local BA line capacity exceeded: %d > %d",
                         len(ls_ids), cfg.ba_lines)
             ls_ids = ls_ids[-cfg.ba_lines:]
+        # bucket capacities to the ACTUAL problem size (powers of two, so
+        # the jitted BA compiles O(log) shapes): a 600-landmark local map
+        # padded to the 2048/8192 config maxima wastes 3-4x device time
+        n_pobs = self._count_obs(mp.pobs, slotmask, mp.n_pt, pt_ids)
+        n_lobs = self._count_obs(mp.lobs, slotmask, mp.n_ls, ls_ids)
+        if cfg.plucker_lines:
+            need_pts, need_pobs = len(pt_ids), n_pobs
+            cap_ls = min(cfg.ba_lines, _pad_bucket(len(ls_ids), lo=64))
+            cap_lobs = min(cfg.ba_lobs, _pad_bucket(n_lobs, lo=256))
+        else:
+            need_pts = len(pt_ids) + 2 * len(ls_ids)
+            need_pobs = n_pobs + 2 * n_lobs
+            cap_ls = min(cfg.ba_lines, _pad_bucket(len(ls_ids), lo=64))
+            cap_lobs = min(cfg.ba_lobs, _pad_bucket(n_lobs, lo=256))
+        cap_pts = min(cfg.ba_points, _pad_bucket(need_pts, lo=256))
+        cap_pobs = min(cfg.ba_pobs, _pad_bucket(need_pobs, lo=1024))
         return self._assemble_problem(
-            local_ids, pt_ids, ls_ids, cfg.ba_points, cfg.ba_lines,
-            cfg.ba_pobs, cfg.ba_lobs, fix_rule="local")
+            local_ids, pt_ids, ls_ids, cap_pts, cap_ls,
+            cap_pobs, cap_lobs, fix_rule="local",
+            cap_k=cfg.local_ba_kf)
+
+    @staticmethod
+    def _count_obs(table: _ObsTable, slotmask: np.ndarray, n_lm: int,
+                   lm_ids: np.ndarray) -> int:
+        """Observation rows a BA over (slotmask KFs, lm_ids) will carry."""
+        sel = np.zeros(n_lm, bool)
+        sel[lm_ids] = True
+        return int((table.valid[: table.n] & slotmask[table.kf[: table.n]]
+                    & sel[table.lm[: table.n]]).sum())
 
     def local_bundle_adjustment(self):
         """Run the two-round chi^2-gated BA and write back
-        (:6119-6319)."""
+        (:6119-6319).  Problem transport is packed: 3 uploads + 1 fetch
+        instead of ~28 round trips (ba.pack_problem_np)."""
         if len(self.map.keyframes) < 2:
             return None
         prob, meta = self.build_local_ba()
-        res = self._ba_jit(prob, self.cam, self.ba_cfg)
-        self._write_back(res, meta)
-        return res
+        f, i, b, lay = ba_mod.pack_problem_np(
+            prob, lines_plucker=meta["lines_plucker"])
+        out = self._ba_packed(jnp.asarray(f), jnp.asarray(i),
+                              jnp.asarray(b), self.cam, self.ba_cfg, lay)
+        (T, points, orth, p_active, l_active,
+         cost) = ba_mod.unpack_result_np(out, lay)
+        mp = self.map
+        for sl, kfid in enumerate(meta["local_ids"]):
+            mp.keyframes[kfid].T_w_k = np.linalg.inv(
+                np.asarray(T[sl], np.float64))
+        self._write_back_landmarks(points, orth, prob.lines_scale,
+                                   p_active, l_active, meta)
+        return LocalBAResult(T, points, p_active, l_active, cost)
 
     def global_bundle_adjustment(self):
         """GBA over ALL keyframes and ALL landmarks, tiled over fixed-shape
@@ -1137,11 +1255,23 @@ class MapHandler:
             lc = ls_ids[c * cap_l: (c + 1) * cap_l]
             prob, meta = self._assemble_problem(
                 local_ids, pc, lc, cap_p, cap_l,
-                cfg.ba_pobs, cfg.ba_lobs, fix_rule="kf0")
+                cfg.ba_pobs, cfg.ba_lobs, fix_rule="kf0",
+                cap_k=_pad_bucket(len(local_ids), lo=8))
             probs.append(prob)
             metas.append(meta)
         log.info("GBA: %d KFs, %d points + %d lines in %d chunk(s)",
                  len(local_ids), len(pt_ids), len(ls_ids), n_chunks)
+        for c, (prob, meta) in enumerate(zip(probs, metas)):
+            lp = meta["lines_plucker"]
+            if lp is not None:
+                nls = len(meta["ls_ids"])
+                scales = np.linalg.norm(lp[:nls], axis=-1)
+                orth = np.zeros_like(prob.lines_orth)
+                if nls:
+                    orth[:nls] = np.asarray(_orth_batch(
+                        jnp.asarray(lp[:nls] / scales[:, None])))
+                    prob.lines_scale[:nls] = scales
+                probs[c] = prob._replace(lines_orth=orth)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
         # pose fields are shared, not chunked
         stacked = stacked._replace(
@@ -1160,18 +1290,6 @@ class MapHandler:
                 points[c], orth[c], scale[c], p_active[c], l_active[c], meta)
         return res
 
-    def _write_back(self, res: ba_mod.BAResult, meta):
-        mp = self.map
-        # fetch only the leaves write-back consumes, in one transfer
-        (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
-            (res.problem.T_c_w, res.problem.points, res.problem.lines_orth,
-             res.problem.lines_scale, res.p_active, res.l_active))
-        for s, kfid in enumerate(meta["local_ids"]):
-            mp.keyframes[kfid].T_w_k = np.linalg.inv(
-                np.asarray(T_c_w[s], np.float64))
-        self._write_back_landmarks(points, orth, scale, p_active, l_active,
-                                   meta)
-
     def _write_back_landmarks(self, points, orth, scale, p_active, l_active,
                               meta):
         mp = self.map
@@ -1182,9 +1300,15 @@ class MapHandler:
         if meta.get("plucker", True):
             if len(ls_ids):
                 nls = len(ls_ids)
-                Lws = np.asarray(_plucker_from_orth_batch(
-                    jnp.asarray(orth[:nls]))) * np.asarray(scale[:nls])[:, None]
-                mp.ls_w[ls_ids] = _np_normalize_plucker(Lws)
+                lines = np.asarray(orth)
+                if lines.shape[-1] == 6:
+                    # packed transport already returned ||d||=1 Pluecker
+                    mp.ls_w[ls_ids] = lines[:nls]
+                else:
+                    Lws = np.asarray(_plucker_from_orth_batch(
+                        jnp.asarray(lines[:nls]))
+                    ) * np.asarray(scale[:nls])[:, None]
+                    mp.ls_w[ls_ids] = _np_normalize_plucker(Lws)
         elif len(ls_ids):
             # endpoint mode: optimized endpoints come back through the
             # point table; refresh the Pluecker form (n = sP x eP,

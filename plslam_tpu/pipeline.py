@@ -17,6 +17,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,6 +130,20 @@ class PLSLAM:
 
     # -- per-frame ---------------------------------------------------------
 
+    @staticmethod
+    @jax.jit
+    def _pack_frame_scalars(res):
+        """One (21,) f32 fetch for everything the host needs per frame —
+        five separate scalar fetches cost ~10-30 ms EACH on the remote
+        runtime and dominated the non-KF frame time."""
+        return jnp.concatenate([
+            jnp.stack([res.is_kf.astype(jnp.float32),
+                       res.n_inliers.astype(jnp.float32),
+                       res.err.astype(jnp.float32),
+                       res.good.astype(jnp.float32),
+                       res.entropy_ratio.astype(jnp.float32)]),
+            res.T_f_w.reshape(-1).astype(jnp.float32)])
+
     def process(self, img_l, img_r, timestamp: float = 0.0):
         t0 = time.time()
         il = jnp.asarray(img_l, jnp.float32)
@@ -141,9 +156,10 @@ class PLSLAM:
             self._frame_idx += 1
             return None
         res = self.vo.process(il, ir)
-        is_kf = bool(res.is_kf)
+        sc = np.asarray(self._pack_frame_scalars(res))
+        is_kf = bool(sc[0] > 0.5)
         if is_kf:
-            pose = np.asarray(res.T_f_w, np.float64)
+            pose = sc[5:21].reshape(4, 4).astype(np.float64)
             feats = self.vo.current_features
             self.vo.mark_keyframe()
             self.kf_timestamps.append(timestamp)
@@ -155,9 +171,9 @@ class PLSLAM:
                 self.maybe_autocheckpoint()
         self.logs.append(FrameLog(
             frame=self._frame_idx, t_total=time.time() - t0,
-            n_inliers=int(res.n_inliers), err=float(res.err),
-            good=bool(res.good), is_kf=is_kf,
-            entropy_ratio=float(res.entropy_ratio)))
+            n_inliers=int(sc[1]), err=float(sc[2]),
+            good=bool(sc[3] > 0.5), is_kf=is_kf,
+            entropy_ratio=float(sc[4])))
         self._frame_idx += 1
         return res
 
