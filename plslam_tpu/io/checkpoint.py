@@ -45,7 +45,75 @@ def _restore_obs(triples: np.ndarray, n_lm: int):
     return table, rows_of, nobs
 
 
-def save_map(path: str, mapper: MapHandler) -> None:
+def _lc_state(lc) -> dict:
+    """Loop-closer state worth persisting: the trained vocabulary(ies),
+    per-KF BoW records, and the confusion matrix — rebuilding the conf
+    matrix on resume is O(K^2) BoW scoring and retraining the vocabulary
+    is minutes of k-means (VERDICT round-1 #9)."""
+    data: dict = {}
+    if lc is None or lc.voc is None:
+        return data
+    data["lc_conf"] = lc.conf
+    data["lc_closed_at"] = np.asarray(lc.closed_at)
+    for name, voc in (("p", lc.voc), ("l", lc.voc_l)):
+        if voc is None:
+            continue
+        data[f"lc_voc_{name}_meta"] = np.asarray([voc.k, voc.depth])
+        for i, lvl in enumerate(voc.levels):
+            data[f"lc_voc_{name}_level{i}"] = np.asarray(lvl)
+        if voc.word_weight is not None:
+            data[f"lc_voc_{name}_ww"] = np.asarray(voc.word_weight)
+    if lc.bow:
+        data["lc_bow_p"] = np.stack([b["p"] for b in lc.bow])
+        data["lc_bow_meta"] = np.asarray(
+            [[b["n_pt"], b["std_pt"], b["n_ls"], b["std_ls"]]
+             for b in lc.bow], np.float64)
+        if all(b["l"] is not None for b in lc.bow):
+            data["lc_bow_l"] = np.stack([b["l"] for b in lc.bow])
+    return data
+
+
+def _restore_lc(z, lc) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..backend import vocab as vocab_mod
+
+    if lc is None or "lc_conf" not in z.files:
+        return
+    lc.conf = z["lc_conf"].copy()
+    lc.closed_at = int(z["lc_closed_at"])
+    for name in ("p", "l"):
+        if f"lc_voc_{name}_meta" not in z.files:
+            continue
+        k, depth = (int(x) for x in z[f"lc_voc_{name}_meta"])
+        levels = tuple(jnp.asarray(z[f"lc_voc_{name}_level{i}"])
+                       for i in range(depth))
+        ww = (jnp.asarray(z[f"lc_voc_{name}_ww"])
+              if f"lc_voc_{name}_ww" in z.files else None)
+        voc = vocab_mod.Vocabulary(levels=levels, k=k, depth=depth,
+                                   word_weight=ww)
+        if name == "p":
+            lc.voc = voc
+            lc._tf = jax.jit(lambda d, v, _voc=voc:
+                             vocab_mod.transform(_voc, d, v))
+        else:
+            lc.voc_l = voc
+            lc._tf_l = jax.jit(lambda d, v, _voc=voc:
+                               vocab_mod.transform(_voc, d, v))
+    lc.bow = []
+    if "lc_bow_p" in z.files:
+        P = z["lc_bow_p"]
+        meta = z["lc_bow_meta"]
+        L = z["lc_bow_l"] if "lc_bow_l" in z.files else None
+        for i in range(len(P)):
+            lc.bow.append({
+                "p": P[i], "l": None if L is None else L[i],
+                "n_pt": int(meta[i, 0]), "std_pt": float(meta[i, 1]),
+                "n_ls": int(meta[i, 2]), "std_ls": float(meta[i, 3])})
+
+
+def save_map(path: str, mapper: MapHandler, loop_closer=None) -> None:
     mp = mapper.map
     data = {
         "covis": mp.covis,
@@ -67,10 +135,12 @@ def save_map(path: str, mapper: MapHandler) -> None:
         data[f"kf{i}_active"] = np.asarray(kf.active)
         for f in _KF_FIELDS:
             data[f"kf{i}_{f}"] = getattr(kf, f)
+    data.update(_lc_state(loop_closer))
     np.savez_compressed(path, **data)
 
 
-def load_map(path: str, mapper: MapHandler) -> MapHandler:
+def load_map(path: str, mapper: MapHandler,
+             loop_closer=None) -> MapHandler:
     """Restore map state in place (mapper supplies cam + configs)."""
     z = np.load(path, allow_pickle=False)
     mp = mapper.map
@@ -103,5 +173,7 @@ def load_map(path: str, mapper: MapHandler) -> MapHandler:
         kf.active = bool(z[f"kf{i}_active"]) if f"kf{i}_active" in z else True
         for f in _KF_FIELDS:
             setattr(kf, f, z[f"kf{i}_{f}"].copy())
+        kf.dev = None
         mp.keyframes.append(kf)
+    _restore_lc(z, loop_closer)
     return mapper

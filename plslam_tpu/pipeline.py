@@ -80,6 +80,7 @@ class PLSLAM:
         self.kf_timestamps: list[float] = []
         self._frame_idx = 0
         self._initialized = False
+        self._T_anchor = np.eye(4)
 
         # multithread mode (SlamConfig::multithreadSLAM, default true):
         # mapping runs on a worker thread fed by a KF queue, overlapping
@@ -150,7 +151,19 @@ class PLSLAM:
         ir = jnp.asarray(img_r, jnp.float32)
         if not self._initialized:
             feats = self.vo.initialize(il, ir)
-            self.mapper.initialize(np.eye(4), feats)
+            if len(self.mapper.map.keyframes) == 0:
+                self.mapper.initialize(np.eye(4), feats)
+            else:
+                # resume from a checkpoint: anchor the fresh VO chain at
+                # the last restored keyframe (auto-checkpoints are cut at
+                # KF cadence, so the next dataset frame continues there)
+                # and let this frame extend the map as a new keyframe
+                self._T_anchor = self.mapper.map.keyframes[-1].T_w_k.copy()
+                job = (self._T_anchor.copy(), feats)
+                if self._kf_queue is not None:
+                    self._kf_queue.put(job)
+                else:
+                    self._insert_keyframe(*job)
             self.kf_timestamps.append(timestamp)
             self._initialized = True
             self._frame_idx += 1
@@ -159,7 +172,7 @@ class PLSLAM:
         sc = np.asarray(self._pack_frame_scalars(res))
         is_kf = bool(sc[0] > 0.5)
         if is_kf:
-            pose = sc[5:21].reshape(4, 4).astype(np.float64)
+            pose = self._T_anchor @ sc[5:21].reshape(4, 4).astype(np.float64)
             feats = self.vo.current_features
             self.vo.mark_keyframe()
             self.kf_timestamps.append(timestamp)
@@ -215,7 +228,7 @@ class PLSLAM:
         from .io.checkpoint import save_map
 
         self.wait_until_idle()
-        save_map(path, self.mapper)
+        save_map(path, self.mapper, loop_closer=self.loop_closer)
 
     def load_checkpoint(self, path: str):
         """Restore map state into this pipeline's mapper (resume / offline
@@ -223,8 +236,11 @@ class PLSLAM:
         from .io.checkpoint import load_map
 
         self.wait_until_idle()
-        load_map(path, self.mapper)
-        self._initialized = len(self.mapper.map.keyframes) > 0
+        load_map(path, self.mapper, loop_closer=self.loop_closer)
+        # the next processed frame re-initializes VO anchored at the last
+        # restored KF (live continuation); offline GBA/trajectory queries
+        # work immediately
+        self._initialized = False
 
     def maybe_autocheckpoint(self):
         # cadence from the front-end's accepted-KF count (the mapper's

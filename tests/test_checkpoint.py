@@ -107,3 +107,51 @@ def test_pipeline_autocheckpoint_and_resume(tmp_path):
         slam2.global_bundle_adjustment()
     traj = slam2.keyframe_trajectory()
     assert len(traj) == n_kf
+
+
+def test_loop_closer_state_roundtrip(tmp_path):
+    """Vocabulary, BoW records, and conf matrix survive a checkpoint so
+    resume neither retrains k-means nor rescans O(K^2) pairs."""
+    import os
+
+    import jax.numpy as jnp
+
+    from plslam_tpu.backend import vocab as vocab_mod
+    from plslam_tpu.backend.loop import LoopCloser, LoopConfig
+    from plslam_tpu.io.checkpoint import load_map, save_map
+
+    cam, mapper = build_small_map()
+    lc = LoopCloser(cam, mapper, LoopConfig(vocab_k=4, vocab_depth=2))
+    # force online training on the (small) map corpus
+    descs = np.concatenate([kf.pt_desc[kf.pt_valid]
+                            for kf in mapper.map.keyframes])
+    lc.voc = vocab_mod.train_vocabulary(descs, k=4, depth=2, iters=2)
+    import jax
+    voc = lc.voc
+    lc._tf = jax.jit(lambda d, v: vocab_mod.transform(voc, d, v))
+    lc.bow = [lc._bow_of(kf) for kf in mapper.map.keyframes]
+    k = len(lc.bow)
+    lc.conf = np.arange(k * k, dtype=np.float32).reshape(k, k)
+    lc.closed_at = 7
+
+    path = os.path.join(tmp_path, "map.npz")
+    save_map(path, mapper, loop_closer=lc)
+
+    fresh_mapper = type(mapper)(cam, mapper.cfg)
+    fresh_lc = LoopCloser(cam, fresh_mapper, LoopConfig(vocab_k=4,
+                                                        vocab_depth=2))
+    load_map(path, fresh_mapper, loop_closer=fresh_lc)
+    assert fresh_lc.voc is not None
+    assert fresh_lc.closed_at == 7
+    np.testing.assert_array_equal(fresh_lc.conf, lc.conf)
+    assert len(fresh_lc.bow) == k
+    np.testing.assert_allclose(fresh_lc.bow[0]["p"], lc.bow[0]["p"])
+    # _ensure_vocab must be a no-op now (no retraining)
+    assert fresh_lc._ensure_vocab() is True
+    # and the restored vocabulary transforms identically
+    kf = fresh_mapper.map.keyframes[0]
+    a = np.asarray(fresh_lc._tf(jnp.asarray(kf.pt_desc),
+                                jnp.asarray(kf.pt_valid)))
+    b = np.asarray(lc._tf(jnp.asarray(kf.pt_desc),
+                          jnp.asarray(kf.pt_valid)))
+    np.testing.assert_allclose(a, b)
