@@ -82,12 +82,14 @@ def _dist_lm_iteration(prob, cam, cfg, lam, p_active, l_active):
 
 
 def _dist_cost(prob, cam, cfg, p_active, l_active):
+    """Cauchy cost, matching assemble()'s IRLS weights (the LM
+    accept/reject test must use the same objective the step minimized)."""
     e_p, _, _ = ba_mod.point_obs_residuals(prob, cam)
     e_l, _, _ = ba_mod.line_obs_residuals(prob, cam)
     c = jnp.sum(jnp.where(p_active,
-                          ba_mod.huber_cost(e_p, cfg.huber_delta) * prob.p_sigma2, 0.0))
+                          ba_mod.cauchy_cost(e_p) * prob.p_sigma2, 0.0))
     c = c + jnp.sum(jnp.where(l_active,
-                              ba_mod.huber_cost(e_l, cfg.huber_delta) * prob.l_sigma2, 0.0))
+                              ba_mod.cauchy_cost(e_l) * prob.l_sigma2, 0.0))
     return jax.lax.psum(c, AXIS)
 
 

@@ -1,0 +1,56 @@
+"""kf-axis (sequence-block) sharded global BA on a virtual 8-device mesh
+(SURVEY.md §2.4/§5, BASELINE config 5: trajectory-block partitioning)."""
+
+import numpy as np
+
+from _map_fixtures import World, lateral_poses, make_camera, render_features
+from plslam_tpu.backend.mapping import MapConfig, MapHandler
+from plslam_tpu.parallel import dist_gba
+from plslam_tpu.parallel.mesh import make_mesh
+
+
+def _build(n_kf=16, n_pts=300, n_ls=16):
+    cam = make_camera()
+    world = World(n_pts=n_pts, n_ls=n_ls, seed=9)
+    cfg = MapConfig(ba_points=512, ba_lines=64, ba_pobs=4096, ba_lobs=512)
+    mapper = MapHandler(cam, cfg)
+    poses = lateral_poses(n_kf, step=0.04)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
+    return mapper, world, poses
+
+
+def test_kf_block_gba_reduces_error():
+    mapper, world, poses = _build()
+    mp = mapper.map
+    rng = np.random.default_rng(1)
+    eligible = np.where(mp.pt_valid & (mp.pt_nobs >= 2))[0]
+    truth = mp.pt_w[eligible].copy()
+    mp.pt_w[eligible] = truth + rng.normal(0, 0.03, truth.shape)
+    # perturb every pose but KF0
+    for kf in mp.keyframes[1:]:
+        kf.T_w_k = kf.T_w_k.copy()
+        kf.T_w_k[:3, 3] += rng.normal(0, 0.01, 3)
+    pre_pose = np.stack([k.T_w_k[:3, 3] for k in mp.keyframes])
+    pre_err = np.linalg.norm(mp.pt_w[eligible] - truth, axis=1)
+
+    mesh = make_mesh(8, axis='kf')
+    blk = dist_gba.distributed_global_bundle_adjustment(mapper, mesh,
+                                                        rounds=2)
+    assert len(blk.block_kfs) == 8
+    # every eligible landmark is owned by exactly one block
+    owned = np.zeros(len(blk.pt_ids_glob), np.int64)
+    for b in range(8):
+        owned[blk.pt_gid[b][blk.own_pt[b]]] += 1
+    assert (owned == 1).all(), owned
+
+    post_err = np.linalg.norm(mp.pt_w[eligible] - truth, axis=1)
+    assert np.median(post_err) < 0.5 * np.median(pre_err), (
+        np.median(pre_err), np.median(post_err))
+    # poses pulled back toward the true lateral track
+    gt = np.stack([T[:3, 3] for T in poses])
+    post_pose = np.stack([k.T_w_k[:3, 3] for k in mp.keyframes])
+    assert (np.linalg.norm(post_pose - gt, axis=1).mean()
+            < np.linalg.norm(pre_pose - gt, axis=1).mean())
+    assert np.isfinite(post_pose).all()
