@@ -1170,6 +1170,11 @@ class MapHandler:
         if not cfg.plucker_lines:
             # endpoint mode: each line takes two 3-DoF point slots
             room = (cfg.ba_points - len(pt_ids)) // 2
+            if len(ls_ids) > max(room, 0):
+                log.warning("local BA line capacity exceeded: %d lines > %d "
+                            "endpoint slots left of ba_points=%d (keeping "
+                            "most recent)", len(ls_ids), max(room, 0),
+                            cfg.ba_points)
             ls_ids = ls_ids[-max(room, 0):] if room > 0 else ls_ids[:0]
         elif len(ls_ids) > cfg.ba_lines:
             log.warning("local BA line capacity exceeded: %d > %d",

@@ -197,6 +197,11 @@ def build_normal_equations(
     if cfg.use_points:
         m_p = pts.valid & pts.inlier
         r_p, J_p = point_residuals(DT, pts, cam)
+        # sanitize masked rows BEFORE they touch H/g: padded rows can carry
+        # degenerate geometry (z=0 projections -> inf/NaN), and a zero
+        # weight does not kill a NaN contribution (0*NaN = NaN)
+        r_p = jnp.where(m_p, r_p, 0.0)
+        J_p = jnp.where(m_p[..., None], J_p, 0.0)
         s_p = robust.clipped_mad_scale(r_p, m_p)
         w_p = robust.cauchy_weight(r_p / s_p)
         w_p = jnp.where(m_p, w_p, 0.0)
@@ -215,6 +220,9 @@ def build_normal_equations(
         else:
             r_l, J_l, _, _ = line_residuals_endpoint(DT, ls, cam)
             r_g = r_l
+        r_l = jnp.where(m_l, r_l, 0.0)
+        r_g = jnp.where(m_l, r_g, 0.0)
+        J_l = jnp.where(m_l[..., None], J_l, 0.0)
         sp_proj = cam.project(lie.transform_point(DT, ls.sP))
         ep_proj = cam.project(lie.transform_point(DT, ls.eP))
         overlap = f2f_line_overlap(ls.sp, ls.ep, sp_proj, ep_proj)

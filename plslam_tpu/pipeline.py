@@ -123,6 +123,25 @@ class PLSLAM:
             if report:
                 self.loop_reports.append(report)
 
+    def insert_keyframe_features(self, pose: np.ndarray, feats,
+                                 timestamp: float = 0.0):
+        """Feature-level keyframe insertion (replay / simulation path):
+        push a (pose, StereoFeatures) pair through the SAME queue + worker
+        as live tracking, bypassing image extraction.  Lets large-scale
+        synthetic sequences exercise the threaded mapping back-end and
+        loop closer exactly as a live run would."""
+        self.kf_timestamps.append(timestamp)
+        if len(self.mapper.map.keyframes) == 0:
+            self.mapper.initialize(np.asarray(pose, np.float64), feats)
+            if self.loop_closer is not None:
+                self.loop_closer.on_new_keyframe()
+            return
+        job = (np.asarray(pose, np.float64), feats)
+        if self._kf_queue is not None:
+            self._kf_queue.put(job)
+        else:
+            self._insert_keyframe(*job)
+
     def wait_until_idle(self):
         """Block until the mapping queue has drained (for tests and for
         callers that read the map mid-run)."""

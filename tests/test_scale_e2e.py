@@ -1,0 +1,156 @@
+"""Reference-scale end-to-end run: a 150+ keyframe ring sequence with a
+genuine revisit, loop closure at the reference's gating (lc_kf_dist=50,
+mapHandler.cpp:4260), the threaded mapping back-end, and capacity-cap
+logging.  This is the closest achievable stand-in for the EuRoC configs
+(no image data in this environment) — it exercises a multi-hundred-KF map
+where host-side loops, capacity caps, vocabulary retrieval, PGO at scale,
+and chunked GBA all have to hold up (SURVEY.md §4 e2e strategy).
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from plslam_tpu.backend.mapping import MapConfig
+from plslam_tpu.config import PLSLAMConfig
+from plslam_tpu.core import lie
+from plslam_tpu.pipeline import PLSLAM
+
+import jax.numpy as jnp
+
+from _map_fixtures import RingWorld, make_camera, render_ring_features
+
+N_KF = 156           # one full revolution + a 16-KF revisit overlap
+REVISIT_AT = 140     # KFs past this index see the KF-0 region again
+RNG = np.random.default_rng(11)
+
+
+def _ate_rmse(T_est: list[np.ndarray], T_true: list[np.ndarray]) -> float:
+    e = np.stack([t[:3, 3] for t in T_est])
+    g = np.stack([t[:3, 3] for t in T_true])
+    # translation-only alignment (the gauge is KF0-fixed in both)
+    e = e - e[0] + g[0]
+    return float(np.sqrt(((e - g) ** 2).sum(-1).mean()))
+
+
+@pytest.fixture(scope="module")
+def scale_run():
+    cam = make_camera()
+    world = RingWorld(n_pts=3000, n_ls=300, seed=5)
+    # loop closure requires the endpoint-line baseline configuration
+    # (README.md:12); reference-scale gates: lc_kf_dist=50, nkf_closest=4
+    cfg = PLSLAMConfig(use_line_plucker=False, use_loop_closure=True,
+                       multithread_slam=True)
+    assert cfg.lc_kf_dist == 50, "reference gating must be the default"
+    # small BA capacities so the capacity-cap log lines actually fire at
+    # this scale (the 'no silent caps' rule); chunked GBA covers the rest
+    mcfg = MapConfig(use_lines=True, plucker_lines=False,
+                     local_ba_kf=8, ba_points=512, ba_lines=64,
+                     ba_pobs=2048, ba_lobs=512)
+    slam = PLSLAM(cam, cfg, mcfg)
+
+    thetas = np.linspace(0.0, 2 * np.pi * N_KF / 140.0, N_KF, endpoint=False)
+    T_true = [world.pose_at(th) for th in thetas]
+    # drifted odometry: noisy relative poses accumulated from KF0
+    T_est = [T_true[0]]
+    for i in range(1, N_KF):
+        rel = np.linalg.inv(T_true[i - 1]) @ T_true[i]
+        eps = np.concatenate([RNG.normal(0, 0.010, 3),
+                              RNG.normal(0, 0.0025, 3)])
+        rel = rel @ np.asarray(lie.exp_se3(jnp.asarray(eps)))
+        T_est.append(T_est[-1] @ rel)
+
+    for i in range(N_KF):
+        feats = render_ring_features(world, T_true[i], cam)
+        slam.insert_keyframe_features(T_est[i], feats, timestamp=0.1 * i)
+    slam.wait_until_idle()
+    drift_before = _ate_rmse([k.T_w_k for k in slam.mapper.map.keyframes],
+                             T_true)
+    return slam, T_true, T_est, drift_before
+
+
+def test_scale_map_built(scale_run):
+    slam, _, _, _ = scale_run
+    mp = slam.mapper.map
+    assert len(mp.keyframes) >= 150
+    assert mp.pt_valid.sum() > 1000
+    assert mp.ls_valid.sum() > 50
+    # the covisibility graph is genuinely non-tridiagonal at this scale
+    covis = mp.covis
+    far = np.triu(covis, 3)
+    assert (far >= 75).sum() > 50, "covis graph collapsed to the diagonal"
+
+
+def test_scale_loop_closed_and_drift_reduced(scale_run):
+    slam, T_true, T_est, _ = scale_run
+    assert len(slam.loop_reports) >= 1, "no loop closure at lc_kf_dist=50"
+    r = slam.loop_reports[-1]
+    assert r["kf"] >= REVISIT_AT
+    assert r["candidate"] <= r["kf"] - 50, "gate violated: candidate too near"
+    assert r["candidate"] <= 20, "loop should close against the KF-0 region"
+    # raw odometry drifted; the closed map must beat it — both globally
+    # (ATE RMSE) and decisively at the loop-closure keyframe, where the
+    # accumulated drift was largest
+    drift_odo = _ate_rmse(T_est, T_true)
+    ate_after = _ate_rmse([k.T_w_k for k in slam.mapper.map.keyframes],
+                          T_true)
+    assert drift_odo > 0.1, "scenario should carry real drift"
+    assert ate_after < drift_odo, (drift_odo, ate_after)
+    k = r["kf"]
+    err_odo = np.linalg.norm(T_est[k][:3, 3] - T_true[k][:3, 3])
+    err_map = np.linalg.norm(
+        slam.mapper.map.keyframes[k].T_w_k[:3, 3] - T_true[k][:3, 3])
+    assert err_odo > 0.1, "closure KF should carry real drift"
+    assert err_map < 0.5 * err_odo, (err_odo, err_map)
+    # fusion did real work across both modalities at the revisit
+    fused = r["fused"]
+    assert sum(fused.values()) >= 10, fused
+
+
+def test_scale_no_false_loops(scale_run):
+    slam, _, _, _ = scale_run
+    # every closure must target the genuine revisit region
+    for r in slam.loop_reports:
+        assert r["kf"] >= REVISIT_AT and r["candidate"] <= 20, r
+
+
+def test_scale_capacity_caps_logged(scale_run, caplog):
+    """The 'no silent caps' rule: when the local map outgrows the BA
+    capacities, local BA MUST say so; GBA must chunk over everything
+    instead.  The end-of-run local map here carries ~250 points / ~35
+    lines across the loop ends; drop the caps below that and assert the
+    overflow is loud."""
+    slam, _, _, _ = scale_run
+    import dataclasses
+    saved = slam.mapper.cfg
+    slam.mapper.cfg = dataclasses.replace(saved, ba_points=128, ba_lines=8,
+                                          ba_pobs=512, ba_lobs=128)
+    try:
+        with caplog.at_level(logging.WARNING, logger="plslam"):
+            slam.mapper.build_local_ba()
+    finally:
+        slam.mapper.cfg = saved
+    assert any("capacity exceeded" in m for m in caplog.messages), \
+        "local BA overflowed silently"
+
+
+def test_scale_chunked_gba_covers_whole_map(scale_run, caplog):
+    slam, T_true, _, _ = scale_run
+    mp = slam.mapper.map
+    before = mp.pt_w.copy()
+    with caplog.at_level(logging.INFO, logger="plslam"):
+        slam.mapper.global_bundle_adjustment()
+    msgs = [m for m in caplog.messages if m.startswith("GBA:")]
+    assert msgs, "GBA must log its chunking"
+    assert "chunk" in msgs[-1]
+    # multi-chunk at these capacities (~>512 points per chunk)
+    n_pt = int(mp.pt_valid.sum())
+    assert n_pt > 512
+    # GBA touched landmarks beyond any single chunk's capacity: the set of
+    # points it moved must exceed one chunk
+    moved = (np.abs(mp.pt_w - before).max(-1) > 1e-12)
+    assert moved.sum() > 512, f"GBA moved only {moved.sum()} points"
+    # trajectory quality survives the global solve
+    ate = _ate_rmse([k.T_w_k for k in mp.keyframes], T_true)
+    assert ate < 1.0, ate
