@@ -45,12 +45,12 @@ class FrontendConfig(NamedTuple):
     stereo_overlap_th: float = 0.75
     min_line_length_frac: float = 0.025  # min_line_length * image size
     line_window: float = 120.0
-    # Pallas FAST score kernel: standalone it beats the XLA formulation
-    # (1.68 vs 2.10 ms on the 2-image stack), but the pallas_call boundary
-    # blocks XLA from fusing the score maps into corner selection, so the
-    # end-to-end detector measures 0.5 ms SLOWER (6.60 vs 6.05 ms).  Off
-    # by default; None currently means off (auto may flip once the
-    # selection stage moves into the kernel).
+    # Pallas FAST score kernel.  Outputs are bit-identical to the XLA
+    # formulation; with the per-cell-argmax selection the batched detect
+    # stage measures 4.2 ms (XLA) vs 4.4 ms (Pallas) under forced-sync
+    # timing on the real chip (block_until_ready is unreliable on this
+    # runtime — only scalar fetches force execution), so the kernel stays
+    # opt-in.  None = off.
     use_pallas_fast: bool | None = None
 
 

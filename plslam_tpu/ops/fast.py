@@ -88,18 +88,49 @@ def detect_level(img: jax.Array, threshold: float, max_kp: int,
     return select_corners(raw, s, max_kp, border)
 
 
+CELL = 12  # spatial-bucket side (px) for per-cell corner selection
+
+
 def select_corners(raw: jax.Array, s: jax.Array, max_kp: int,
-                   border: int) -> Keypoints:
+                   border: int, cell: int | None = CELL) -> Keypoints:
     """Top-K + sub-pixel refinement on precomputed (raw, nms) score maps
-    (split out so batched/Pallas score producers can share it)."""
+    (split out so batched/Pallas score producers can share it).
+
+    ``cell`` selects the per-cell-argmax strategy: the NMS map is bucketed
+    into cell x cell tiles, each tile contributes its best corner, and the
+    top-K runs over the ~2.5k tile maxima instead of sorting all H*W
+    scores (a full-image ``lax.top_k`` is sort-bound on TPU, ~2-3 ms per
+    level).  One corner per 12x12 px also enforces the spatial uniformity
+    the reference gets from its 48x64 bucket grids (stereoFrame.h:51-52).
+    ``cell=None`` restores the exact global top-K."""
     H, W = raw.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = ((xx >= border) & (xx < W - border)
               & (yy >= border) & (yy < H - border))
     s = jnp.where(inside, s, 0.0)
-    flat = s.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_kp)
+    if cell:
+        Hc, Wc = -(-H // cell), -(-W // cell)
+        sp = jnp.zeros((Hc * cell, Wc * cell), s.dtype).at[:H, :W].set(s)
+        flat_ix = jax.lax.broadcasted_iota(
+            jnp.int32, (Hc * cell, Wc * cell), 0) * W + \
+            jax.lax.broadcasted_iota(jnp.int32, (Hc * cell, Wc * cell), 1)
+        sc = sp.reshape(Hc, cell, Wc, cell)
+        fc = flat_ix.reshape(Hc, cell, Wc, cell)
+        cmax = sc.max(axis=(1, 3))                       # (Hc, Wc)
+        hit = (sc == cmax[:, None, :, None]) & (sc > 0)
+        cidx = jnp.where(hit, fc, -1).max(axis=(1, 3))   # (Hc, Wc)
+        n_cells = Hc * Wc
+        k = min(max_kp, n_cells)
+        vals, ci = jax.lax.top_k(cmax.reshape(-1), k)
+        idx = cidx.reshape(-1)[ci]
+        if k < max_kp:  # pad back up to the static capacity
+            vals = jnp.concatenate([vals, jnp.zeros(max_kp - k, vals.dtype)])
+            idx = jnp.concatenate([idx, jnp.full(max_kp - k, -1, idx.dtype)])
+        idx = jnp.maximum(idx, 0)
+    else:
+        flat = s.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, max_kp)
     x = (idx % W).astype(jnp.int32)
     y = (idx // W).astype(jnp.int32)
 
