@@ -377,6 +377,9 @@ class LoopCloser:
 
     def _close(self, kf_id: int, cand_id: int, T_rel: np.ndarray,
                pt_pairs: np.ndarray, ls_pairs: np.ndarray) -> dict:
+        # a deferred local BA would otherwise write stale poses back OVER
+        # the PGO correction — apply it before reading/rewriting poses
+        self.mapper.flush_ba()
         mp = self.mapper.map
         K = len(mp.keyframes)
         T_old = np.stack([k.T_w_k for k in mp.keyframes])

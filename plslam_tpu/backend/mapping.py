@@ -105,14 +105,20 @@ class KeyframeRecord:
     association programs read features that are ALREADY device-resident —
     re-uploading them costs ~130 ms/KF in transfer latency."""
 
-    def __init__(self, kf_id: int, pose: np.ndarray, feats: StereoFeatures):
+    def __init__(self, kf_id: int, pose: np.ndarray, feats: StereoFeatures,
+                 packed: np.ndarray | None = None):
         self.id = kf_id
         self.active = True
         self.T_w_k = pose.astype(np.float64)        # camera -> world
         self.dev = feats
         n_pt = feats.points.uv.shape[0]
         n_ls = feats.lines.sp.shape[0]
-        buf = np.asarray(jax.device_get(_pack_feats(feats)))
+        if packed is not None:
+            # the fused association program already returned the packed
+            # host copy in its single fetch — no extra round trip
+            buf = packed
+        else:
+            buf = np.asarray(jax.device_get(_pack_feats(feats)))
         fp = buf[: n_pt * 7].reshape(n_pt, 7)
         fl = buf[n_pt * 7: n_pt * 7 + n_ls * 18].reshape(n_ls, 18)
         desc = buf[n_pt * 7 + n_ls * 18:].reshape(n_pt + n_ls, 8).view(
@@ -557,6 +563,14 @@ class MapHandler:
         self._gba_jit = jax.jit(ba_mod.bundle_adjust_chunked,
                                 static_argnums=2)
         self._refine_jit = None  # built lazily (has_refinement only)
+        # deferred local-BA: the dispatched solve whose fetch/write-back is
+        # postponed so it overlaps the next keyframe's association — the
+        # analog of the reference's LBA-lag protocol, where write-back is
+        # skipped while a KF insertion is in flight (mapHandler.cpp:2160)
+        import threading
+
+        self._ba_pending = None       # (device out, layout, meta)
+        self._ba_lock = threading.Lock()
 
         # Fused association programs: each remote dispatch/fetch costs
         # ~10-30 ms here, so KF2KF and Map2KF run as ONE program + ONE
@@ -564,6 +578,7 @@ class MapHandler:
         cam_, win_, nnr_ = self.cam, self.cfg.match_window, self.cfg.nnr
         use_lines_ = self.cfg.use_lines
         sim_ = self.cfg.line_sim_th
+        min_pt_ = self.cfg.min_pt_matches
 
         def _kf2kf_prog(T_rel, pP, pdesc, pvalid, kdesc, kuv, kvalid,
                         pls_desc, pls_sp, pls_ep, pls_valid,
@@ -588,6 +603,107 @@ class MapHandler:
 
         self._kf2kf_prog = jax.jit(_kf2kf_prog)
 
+        def _assoc_prog(Tm, dp, dk, prev_pt_lm, prev_ls_lm,
+                        cpack, dpack, cval, cand_pf, nb, nbl):
+            """The WHOLE per-KF association as one device program + one
+            fetch: KF2KF matching (windowed + global fallback chosen
+            in-trace), the chi^2 landmark-creation gates (:489-494,
+            :557-562), the free-feature sets, Map2KF matching against the
+            pre-staged local-map candidates, and the packed host copy of
+            the new KF's features.  On the tunneled runtime each
+            dispatch+fetch costs ~30 ms of latency, so collapsing the
+            three association round trips into one is worth ~120 ms/KF."""
+            T_rel, T_c_w, T_w_prev = Tm[0], Tm[1], Tm[2]
+            # ---- KF2KF points (matchKF2KFPoints :237-366) ----
+            Pc = lie.transform_point(T_rel, dp.points.P)
+            proj = cam_.project(Pc)
+            ok_prev = dp.points.valid & (Pc[..., 2] > 0)
+            mask_w = M.window_pair_mask(proj, dk.points.uv, ok_prev,
+                                        dk.points.valid, win_, win_)
+            m_w = M.match_descriptors(dp.points.desc, dk.points.desc,
+                                      mask_w, nnr_)
+            mask_g = ok_prev[:, None] & dk.points.valid[None, :]
+            m_g = M.match_descriptors(dp.points.desc, dk.points.desc,
+                                      mask_g, nnr_)
+            # windowed -> global fallback (:277-281), decided in-trace
+            idx_pt = jnp.where(jnp.sum(m_w.idx >= 0) >= min_pt_,
+                               m_w.idx, m_g.idx)
+            # chi^2 creation gate: reproject the would-be landmark into
+            # the NEW keyframe (:489-494)
+            Pw = lie.transform_point(T_w_prev, dp.points.P)
+            Pc2 = lie.transform_point(T_c_w, Pw)
+            proj2 = cam_.project(Pc2)
+            tgt = dk.points.uv[jnp.maximum(idx_pt, 0)]
+            e2 = jnp.sum((proj2 - tgt) ** 2, axis=-1)
+            chi_pt = (Pc2[..., 2] > 0) & (e2 <= CHI2_GATE * 4.0)
+            acc_pt = (idx_pt >= 0) & ((prev_pt_lm >= 0) | chi_pt)
+            nk = dk.points.uv.shape[0]
+            taken = jnp.zeros(nk, jnp.int32).at[
+                jnp.maximum(idx_pt, 0)].add(acc_pt.astype(jnp.int32)) > 0
+            kfree = dk.points.valid & ~taken
+            if use_lines_:
+                # ---- KF2KF lines (matchKF2KFLines :368-590) ----
+                pls_mid = 0.5 * (dp.lines.sp + dp.lines.ep)
+                kls_mid = 0.5 * (dk.lines.sp + dk.lines.ep)
+                lmask = M.window_pair_mask(pls_mid, kls_mid, dp.lines.valid,
+                                           dk.lines.valid, win_ * 2.0,
+                                           win_ * 2.0)
+                m_l = M.match_descriptors(dp.lines.desc, dk.lines.desc,
+                                          lmask, nnr_)
+                # line chi^2 gate: lift to world (renormalized :451-459),
+                # project into the new KF, endpoint-to-line errors
+                from ..core.plucker import normalize_plucker
+                Lw = normalize_plucker(
+                    transform_plucker(T_w_prev, dp.lines.NDc))
+                Lc = transform_plucker(T_c_w, Lw)
+                l2 = cam_.project_line(Lc)
+                nrm = jnp.hypot(l2[..., 0], l2[..., 1])
+                good = nrm > 1e-9
+                nrm = jnp.where(good, nrm, 1.0)
+                safe_l = jnp.maximum(m_l.idx, 0)
+                spt = dk.lines.sp[safe_l]
+                ept = dk.lines.ep[safe_l]
+                e0 = (l2[..., 0] * spt[..., 0] + l2[..., 1] * spt[..., 1]
+                      + l2[..., 2]) / nrm
+                e1 = (l2[..., 0] * ept[..., 0] + l2[..., 1] * ept[..., 1]
+                      + l2[..., 2]) / nrm
+                chi_ls = good & (e0 * e0 + e1 * e1 <= CHI2_GATE * 4.0)
+                acc_ls = (m_l.idx >= 0) & ((prev_ls_lm >= 0) | chi_ls)
+                nkl = dk.lines.sp.shape[0]
+                ltaken = jnp.zeros(nkl, jnp.int32).at[safe_l].add(
+                    acc_ls.astype(jnp.int32)) > 0
+                kls_free = dk.lines.valid & ~ltaken
+                kf_buf = jnp.concatenate([
+                    idx_pt.astype(jnp.float32), chi_pt.astype(jnp.float32),
+                    m_l.idx.astype(jnp.float32),
+                    chi_ls.astype(jnp.float32)])
+            else:
+                kls_free = jnp.zeros(dk.lines.sp.shape[0], bool)
+                acc_ls = None
+                kf_buf = jnp.concatenate([
+                    idx_pt.astype(jnp.float32), chi_pt.astype(jnp.float32)])
+            # ---- Map2KF against the pre-staged candidates; exclude
+            # candidates just re-observed through KF2KF ----
+            pf = cand_pf[:nb]
+            cand_valid = cval[:nb] & ~((pf >= 0)
+                                       & acc_pt[jnp.maximum(pf, 0)])
+            if use_lines_:
+                pfl = cand_pf[nb:]
+                lcand_valid = cval[nb:] & ~((pfl >= 0)
+                                            & acc_ls[jnp.maximum(pfl, 0)])
+            else:
+                lcand_valid = cval[nb:]
+            m2_buf = _map2kf_core(T_c_w, cpack, dpack, cand_valid,
+                                  lcand_valid, kfree, kls_free,
+                                  dk.points.desc, dk.points.uv,
+                                  dk.lines.sp, dk.lines.ep, dk.lines.desc,
+                                  nb, nbl)
+            # ONE output buffer: a 3-member tuple fetch pays ~8 ms of
+            # extra per-member latency on the tunneled runtime
+            return jnp.concatenate([kf_buf, m2_buf, _pack_feats(dk)])
+
+        self._assoc_prog = jax.jit(_assoc_prog, static_argnums=(9, 10))
+
         def _line_eq(sp, ep):
             # normalized image-line equation through two 2D points
             l = jnp.cross(
@@ -596,18 +712,14 @@ class MapHandler:
             nrm = jnp.hypot(l[..., 0], l[..., 1])
             return l / jnp.maximum(nrm, 1e-9)[..., None]
 
-        def _map2kf_prog(T_c_w, cpack, dpack, vpack,
+        def _map2kf_core(T_c_w, cpack, dpack, cand_valid, lcand_valid,
+                         kfree, kls_free,
                          kdesc, kuv, kls_sp, kls_ep, kls_desc, nb, nbl):
             candP = cpack[:nb]
             cand_sPw = cpack[nb:nb + nbl]
             cand_ePw = cpack[nb + nbl:]
             cand_desc = dpack[:nb]
             lcand_desc = dpack[nb:]
-            nk = kdesc.shape[0]
-            cand_valid = vpack[:nb]
-            lcand_valid = vpack[nb:nb + nbl]
-            kfree = vpack[nb + nbl:nb + nbl + nk]
-            kls_free = vpack[nb + nbl + nk:]
             # -- points (matchMap2KFPoints :697-797) --
             Pc = lie.transform_point(T_c_w, candP)
             proj = cam_.project(Pc)
@@ -667,6 +779,14 @@ class MapHandler:
                 m_l.idx.astype(jnp.float32), m_lg.idx.astype(jnp.float32),
                 _errs(m_l.idx), _errs(m_lg.idx)])
 
+        def _map2kf_prog(T_c_w, cpack, dpack, vpack,
+                         kdesc, kuv, kls_sp, kls_ep, kls_desc, nb, nbl):
+            nk = kdesc.shape[0]
+            return _map2kf_core(
+                T_c_w, cpack, dpack, vpack[:nb], vpack[nb:nb + nbl],
+                vpack[nb + nbl:nb + nbl + nk], vpack[nb + nbl + nk:],
+                kdesc, kuv, kls_sp, kls_ep, kls_desc, nb, nbl)
+
         self._map2kf_prog = jax.jit(_map2kf_prog,
                                     static_argnums=(9, 10))
 
@@ -674,6 +794,7 @@ class MapHandler:
 
     def initialize(self, pose: np.ndarray, feats: StereoFeatures):
         kf = KeyframeRecord(0, pose, feats)
+        kf.T_vo = kf.T_w_k.copy()
         self.map.keyframes.append(kf)
         self.map.expand_graphs()
         # every stereo feature of KF0 seeds a landmark (reference behavior:
@@ -681,21 +802,132 @@ class MapHandler:
         self._spawn_landmarks(kf)
 
     def add_keyframe(self, pose: np.ndarray, feats: StereoFeatures,
-                     run_ba: bool = True):
-        kf = KeyframeRecord(len(self.map.keyframes), pose, feats)
-        self.map.keyframes.append(kf)
-        self.map.expand_graphs()
-        self._match_kf2kf(kf)
+                     run_ba: bool = True, defer_ba: bool = False):
+        """Insert one keyframe.  ``pose`` is the front-end's (VO) pose;
+        the map pose is CHAINED through the previous keyframe's optimized
+        pose (T_curr_w = T_prev * T_rel, addKeyFrame :162) so BA and
+        loop-closure corrections propagate to subsequent keyframes."""
         if self.cfg.has_refinement:
+            # refinement re-optimizes the pose BETWEEN the KF2KF and
+            # Map2KF passes (:937-977), so the association cannot fuse
+            # into one program — use the split three-dispatch path
+            self.flush_ba()
+            pose_vo = np.asarray(pose, np.float64)
+            prev = self.map.keyframes[-1]
+            rel = np.linalg.inv(getattr(prev, "T_vo", prev.T_w_k)) @ pose_vo
+            kf = KeyframeRecord(len(self.map.keyframes),
+                                prev.T_w_k @ rel, feats)
+            kf.T_vo = pose_vo
+            self.map.keyframes.append(kf)
+            self.map.expand_graphs()
+            self._match_kf2kf(kf)
             self._refine_kf_pose(kf)
-        self._match_map2kf(kf)
+            self._match_map2kf(kf)
+        else:
+            kf = self._associate_and_insert(pose, feats)
         self._spawn_landmarks(kf)  # leftovers become new landmarks
         if run_ba:
-            self.local_bundle_adjustment()
+            self.local_bundle_adjustment(defer=defer_ba)
         self.cull_landmarks()
         if (self.cfg.cull_kf_every > 0
                 and kf.id % self.cfg.cull_kf_every == 0):
+            self.flush_ba()
             self.cull_redundant_keyframes(self.cfg.max_common_fts_kf)
+        return kf
+
+    def _associate_and_insert(self, pose: np.ndarray,
+                              feats: StereoFeatures) -> KeyframeRecord:
+        """Insert a keyframe with the WHOLE association (KF2KF + Map2KF +
+        chi^2 gates + packed host copy) as one device dispatch + one
+        fetch.  Map2KF candidates come from the local map as formed after
+        the PREVIOUS keyframe — the reference's order as well: its
+        matchMap2KF passes run before formLocalMap updates the local set
+        (mapHandler.cpp:923-990, :1005)."""
+        mp = self.map
+        cfg = self.cfg
+        prev = mp.keyframes[-1]
+        pose_vo = np.asarray(pose, np.float64)
+        # chain through the previous keyframe's optimized pose (:162);
+        # provisional if a deferred BA is still in flight — re-chained
+        # after the combined fetch below
+        rel = np.linalg.inv(getattr(prev, "T_vo", prev.T_w_k)) @ pose_vo
+        pose = prev.T_w_k @ rel
+        T_c_w_new = np.linalg.inv(pose)
+        Tm = np.stack([T_c_w_new @ prev.T_w_k,   # prev-cam -> new-cam
+                       T_c_w_new, prev.T_w_k]).astype(np.float32)
+
+        local_kf = mp.local_kf_set()
+        cand = np.where(
+            mp.pt_valid
+            & self._local_landmark_mask(mp.pobs, mp.n_pt, local_kf))[0]
+        if cfg.use_lines:
+            cand_l = np.where(
+                mp.ls_valid
+                & self._local_landmark_mask(mp.lobs, mp.n_ls, local_kf))[0]
+        else:
+            cand_l = np.zeros(0, np.int64)
+        nb = _pad_bucket(len(cand))
+        nbl = _pad_bucket(len(cand_l), lo=64)
+        cpack = np.zeros((nb + 2 * nbl, 3), np.float32)
+        cpack[:nb] = _pad_rows(mp.pt_w[cand], nb)
+        cpack[nb:nb + nbl] = _pad_rows(mp.ls_epw[cand_l, 0], nbl)
+        cpack[nb + nbl:] = _pad_rows(mp.ls_epw[cand_l, 1], nbl)
+        dpack = np.zeros((nb + nbl, 8), np.uint32)
+        dpack[:nb] = _pad_rows(mp.pt_desc[cand], nb)
+        dpack[nb:] = _pad_rows(mp.ls_desc[cand_l], nbl)
+        cval = np.zeros(nb + nbl, bool)
+        cval[:nb] = np.arange(nb) < len(cand)
+        cval[nb:] = np.arange(nbl) < len(cand_l)
+        # candidate -> prev-KF feature index (so the program can exclude
+        # candidates that KF2KF just re-observed)
+        pf = np.full(nb + nbl, -1, np.int32)
+        w = prev.pt_lm >= 0
+        inv = np.full(mp.n_pt, -1, np.int64)
+        inv[prev.pt_lm[w]] = np.where(w)[0]
+        pf[:len(cand)] = inv[cand]
+        if cfg.use_lines and len(cand_l):
+            wl = prev.ls_lm >= 0
+            inv_l = np.full(mp.n_ls, -1, np.int64)
+            inv_l[prev.ls_lm[wl]] = np.where(wl)[0]
+            pf[nb:nb + len(cand_l)] = inv_l[cand_l]
+
+        dp, dk = prev.dev_feats(), feats
+        out = self._assoc_prog(
+            jnp.asarray(Tm), dp, dk,
+            jnp.asarray(prev.pt_lm, jnp.int32),
+            jnp.asarray(prev.ls_lm, jnp.int32),
+            jnp.asarray(cpack), jnp.asarray(dpack), jnp.asarray(cval),
+            jnp.asarray(pf), nb, nbl)
+        # fetch together with any deferred local-BA result: the pending
+        # solve (dispatched by the previous add_keyframe) completed while
+        # the tracker produced this KF, so ONE sync covers both
+        buf = self._fetch_with_pending(out)
+        n, nl = len(prev.pt_valid), len(prev.ls_valid)
+        nk2 = 2 * n + (2 * nl if cfg.use_lines else 0)
+        nm2 = 2 * nb + (4 * nbl if cfg.use_lines else 0)
+        kf_buf = buf[:nk2]
+        m2_buf = buf[nk2: nk2 + nm2]
+        packed = buf[nk2 + nm2:]
+
+        # the combined fetch may have applied a deferred BA that moved
+        # prev's pose — re-chain so the new KF rides the optimized chain
+        # (the in-program gates used the provisional pose; their chi^2
+        # slack absorbs the one-solve delta, like the reference's
+        # write-back-lag protocol, mapHandler.cpp:2160)
+        pose = prev.T_w_k @ rel
+        kf = KeyframeRecord(len(mp.keyframes), pose, feats, packed=packed)
+        kf.T_vo = pose_vo
+        mp.keyframes.append(kf)
+        mp.expand_graphs()
+
+        idx_pt = kf_buf[:n].astype(np.int64)
+        chi_pt = kf_buf[n: 2 * n] > 0.5
+        self._apply_kf2kf_points(kf, prev, idx_pt, chi_pt)
+        if cfg.use_lines:
+            idx_l = kf_buf[2 * n: 2 * n + nl].astype(np.int64)
+            chi_ls = kf_buf[2 * n + nl:] > 0.5
+            self._apply_kf2kf_lines(kf, prev, idx_l, chi_ls)
+        self._apply_map2kf(kf, cand, cand_l, m2_buf, nb, nbl)
         return kf
 
     # -- association ------------------------------------------------------
@@ -724,17 +956,25 @@ class MapHandler:
         idx_l = buf[2 * n:] if self.cfg.use_lines else None
         # windowed -> global fallback when too few matches (:277-281)
         idx = idx_w if (idx_w >= 0).sum() >= self.cfg.min_pt_matches else idx_g
+        self._apply_kf2kf_points(kf, prev, idx.astype(np.int64))
+        if self.cfg.use_lines:
+            self._apply_kf2kf_lines(kf, prev, idx_l.astype(np.int64))
 
+    def _apply_kf2kf_points(self, kf: KeyframeRecord, prev: KeyframeRecord,
+                            idx: np.ndarray, chi: np.ndarray | None = None):
+        """Host table updates for the KF2KF point matches: extend existing
+        landmarks, create new ones gated by the reprojection chi^2
+        (:489-494; ``chi`` carries the in-program gate of the fused path,
+        None recomputes it on host)."""
+        mp = self.map
         i1 = np.where(idx >= 0)[0]
         i2 = idx[i1].astype(np.int64)
         lm = prev.pt_lm[i1]
         has = lm >= 0
-        # new landmarks from the prev-KF stereo triangulation, gated by
-        # reprojection chi^2 into the NEW kf (:489-494)
         n1, n2 = i1[~has], i2[~has]
         R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
         Pw = prev.pt_P[n1] @ R.T + t
-        ok = self._point_chi2_ok(Pw, kf, n2)
+        ok = chi[n1] if chi is not None else self._point_chi2_ok(Pw, kf, n2)
         ids = mp.new_points(Pw[ok], prev.pt_desc[n1[ok]], prev.id, n1[ok])
         prev.pt_lm[n1[ok]] = ids
         all_lms = np.concatenate([lm[has], ids])
@@ -742,9 +982,10 @@ class MapHandler:
         mp.add_point_obs(all_lms, kf.id, all_fis)
         kf.pt_lm[all_fis] = all_lms
 
-        if not self.cfg.use_lines:
-            return
-        # lines (matched in the same fused program above)
+    def _apply_kf2kf_lines(self, kf: KeyframeRecord, prev: KeyframeRecord,
+                           idx_l: np.ndarray, chi: np.ndarray | None = None):
+        mp = self.map
+        R, t = prev.T_w_k[:3, :3], prev.T_w_k[:3, 3]
         i1 = np.where(idx_l >= 0)[0]
         i2 = idx_l[i1].astype(np.int64)
         lm = prev.ls_lm[i1]
@@ -754,7 +995,7 @@ class MapHandler:
         # renormalize ||d||=1 (mapHandler.cpp:451-459)
         Lw = _np_normalize_plucker(
             _np_transform_plucker(prev.T_w_k, prev.ls_NDc[n1]))
-        ok = self._line_chi2_ok(Lw, kf, n2)
+        ok = chi[n1] if chi is not None else self._line_chi2_ok(Lw, kf, n2)
         ep_w = np.stack([prev.ls_sP[n1[ok]] @ R.T + t,
                          prev.ls_eP[n1[ok]] @ R.T + t], axis=1)
         ids = mp.new_lines(Lw[ok], prev.ls_desc[n1[ok]], prev.id, n1[ok],
@@ -886,9 +1127,17 @@ class MapHandler:
             jnp.asarray(cpack), jnp.asarray(dpack), jnp.asarray(vpack),
             dk.points.desc, dk.points.uv,
             dk.lines.sp, dk.lines.ep, dk.lines.desc, nb, nbl)))
+        self._apply_map2kf(kf, cand, cand_l, buf, nb, nbl)
+
+    def _apply_map2kf(self, kf: KeyframeRecord, cand: np.ndarray,
+                      cand_l: np.ndarray, buf: np.ndarray, nb: int,
+                      nbl: int):
+        """Host table updates from the fetched Map2KF result buffer."""
+        mp = self.map
+        cfg = self.cfg
         idx = buf[:nb].astype(np.int64)
         p_err = buf[nb: 2 * nb]
-        if use_lines:
+        if cfg.use_lines:
             idx_l = buf[2 * nb: 2 * nb + nbl].astype(np.int64)
             idx_lg = buf[2 * nb + nbl: 2 * nb + 2 * nbl].astype(np.int64)
             l_errs = (buf[2 * nb + 2 * nbl: 2 * nb + 3 * nbl],
@@ -1210,26 +1459,62 @@ class MapHandler:
         return int((table.valid[: table.n] & slotmask[table.kf[: table.n]]
                     & sel[table.lm[: table.n]]).sum())
 
-    def local_bundle_adjustment(self):
+    def local_bundle_adjustment(self, defer: bool = False):
         """Run the two-round chi^2-gated BA and write back
         (:6119-6319).  Problem transport is packed: 3 uploads + 1 fetch
-        instead of ~28 round trips (ba.pack_problem_np)."""
+        instead of ~28 round trips (ba.pack_problem_np).
+
+        ``defer=True`` dispatches the solve and postpones the fetch +
+        write-back until ``flush_ba()`` (or the next keyframe's combined
+        association fetch) — the threaded pipeline's analog of the
+        reference's skip-write-back-while-inserting protocol
+        (mapHandler.cpp:2160)."""
         if len(self.map.keyframes) < 2:
             return None
+        self.flush_ba()  # at most one solve in flight
         prob, meta = self.build_local_ba()
         f, i, b, lay = ba_mod.pack_problem_np(
             prob, lines_plucker=meta["lines_plucker"])
         out = self._ba_packed(jnp.asarray(f), jnp.asarray(i),
                               jnp.asarray(b), self.cam, self.ba_cfg, lay)
+        meta["lines_scale"] = prob.lines_scale
+        if defer:
+            with self._ba_lock:
+                self._ba_pending = (out, lay, meta)
+            return None
+        return self._finish_local_ba(out, lay, meta)
+
+    def _finish_local_ba(self, out, lay, meta) -> LocalBAResult:
         (T, points, orth, p_active, l_active,
          cost) = ba_mod.unpack_result_np(out, lay)
         mp = self.map
         for sl, kfid in enumerate(meta["local_ids"]):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T[sl], np.float64))
-        self._write_back_landmarks(points, orth, prob.lines_scale,
+        self._write_back_landmarks(points, orth, meta["lines_scale"],
                                    p_active, l_active, meta)
         return LocalBAResult(T, points, p_active, l_active, cost)
+
+    def flush_ba(self):
+        """Apply a deferred local-BA result, if one is in flight."""
+        with self._ba_lock:
+            pending, self._ba_pending = self._ba_pending, None
+        if pending is not None:
+            out, lay, meta = pending
+            self._finish_local_ba(np.asarray(jax.device_get(out)), lay,
+                                  meta)
+
+    def _fetch_with_pending(self, out):
+        """device_get ``out``, folding any deferred BA result into the
+        SAME sync (one round trip instead of two)."""
+        with self._ba_lock:
+            pending, self._ba_pending = self._ba_pending, None
+        if pending is not None:
+            pout, lay, meta = pending
+            pout, buf = jax.device_get((pout, out))
+            self._finish_local_ba(np.asarray(pout), lay, meta)
+            return np.asarray(buf)
+        return np.asarray(jax.device_get(out))
 
     def global_bundle_adjustment(self):
         """GBA over ALL keyframes and ALL landmarks, tiled over fixed-shape
@@ -1240,6 +1525,7 @@ class MapHandler:
         mp = self.map
         if len(mp.keyframes) < 2:
             return None
+        self.flush_ba()
         local_ids = [k.id for k in mp.keyframes if k.active]
         slotmask = np.zeros(len(mp.keyframes), bool)
         slotmask[local_ids] = True
@@ -1431,5 +1717,6 @@ class MapHandler:
     # -- trajectory export -------------------------------------------------
 
     def keyframe_trajectory(self, include_inactive: bool = True):
+        self.flush_ba()
         return [kf.T_w_k for kf in self.map.keyframes
                 if include_inactive or kf.active]

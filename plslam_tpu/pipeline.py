@@ -93,7 +93,12 @@ class PLSLAM:
         self._map_thread: threading.Thread | None = None
         self._map_errors: list[BaseException] = []
         if self.config.multithread_slam:
-            self._kf_queue = queue.Queue()
+            # bounded: the device executes dispatches FIFO, so an unbounded
+            # tracker run-ahead makes every mapping fetch wait behind the
+            # queued VO work of all the frames in between (measured ~2x on
+            # the KF-every-frame stress bench); maxsize=2 keeps tracking
+            # and mapping overlapped without the pile-up
+            self._kf_queue = queue.Queue(maxsize=2)
             self._map_thread = threading.Thread(
                 target=self._mapping_worker, name="plslam-mapper",
                 daemon=True)
@@ -117,7 +122,10 @@ class PLSLAM:
                 self._kf_queue.task_done()
 
     def _insert_keyframe(self, pose, feats):
-        self.mapper.add_keyframe(pose, feats)
+        # defer_ba: the local-BA fetch + write-back overlaps the NEXT
+        # keyframe's association (one combined sync), the pipeline analog
+        # of the reference's LBA thread lag (mapHandler.cpp:1251-1300)
+        self.mapper.add_keyframe(pose, feats, defer_ba=True)
         if self.loop_closer is not None:
             report = self.loop_closer.on_new_keyframe()
             if report:
@@ -147,6 +155,8 @@ class PLSLAM:
         callers that read the map mid-run)."""
         if self._kf_queue is not None:
             self._kf_queue.join()
+        # apply any deferred local-BA result so readers see a consistent map
+        self.mapper.flush_ba()
 
     # -- per-frame ---------------------------------------------------------
 

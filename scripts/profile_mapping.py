@@ -61,43 +61,26 @@ def main():
         vo.mark_keyframe()
         pose = poses[i]
 
+        # the production (fused + deferred) flow: one combined fetch for
+        # {pending BA of the previous KF + the whole association + the
+        # packed KF features}, then one deferred BA dispatch
         t = time.time()
-        kf = KeyframeRecord(len(mapper.map.keyframes), pose, feats)
-        mapper.map.keyframes.append(kf)
-        mapper.map.expand_graphs()
-        t = mark("kf_record(pack+fetch)", t)
-        mapper._match_kf2kf(kf)
-        t = mark("match_kf2kf", t)
-        mapper._match_map2kf(kf)
-        t = mark("match_map2kf", t)
+        kf = mapper._associate_and_insert(pose, feats)
+        t = mark("assoc+flushBA (1 fetch)", t)
         mapper._spawn_landmarks(kf)
-        t = mark("spawn_landmarks", t)
-        prob, meta = mapper.build_local_ba()
-        t = mark("ba_assemble(host)", t)
-        from plslam_tpu.backend import ba as ba_mod
-        f, ii, b, lay = ba_mod.pack_problem_np(
-            prob, lines_plucker=meta["lines_plucker"])
-        t = mark("ba_pack(host)", t)
-        out = mapper._ba_packed(jnp.asarray(f), jnp.asarray(ii),
-                                jnp.asarray(b), mapper.cam, mapper.ba_cfg,
-                                lay)
-        jax.block_until_ready(out)
-        t = mark("ba_solve+fetch", t)
-        (T, points, orth, p_active, l_active,
-         cost) = ba_mod.unpack_result_np(out, lay)
-        for sl, kfid in enumerate(meta["local_ids"]):
-            mapper.map.keyframes[kfid].T_w_k = np.linalg.inv(
-                np.asarray(T[sl], np.float64))
-        mapper._write_back_landmarks(points, orth, prob.lines_scale,
-                                     p_active, l_active, meta)
-        t = mark("ba_writeback(host)", t)
+        t = mark("spawn_landmarks(host)", t)
+        mapper.local_bundle_adjustment(defer=True)
+        t = mark("ba_assemble+dispatch", t)
         mapper.cull_landmarks()
-        t = mark("cull", t)
+        t = mark("cull(host)", t)
+    t = time.time()
+    mapper.flush_ba()
+    mark("final ba flush", t)
 
     print(f"{'stage':28s} {'mean ms':>9s} {'p50 ms':>9s} {'max ms':>9s}")
     tot = 0.0
     for name, ts in stages.items():
-        ts = np.asarray(ts[WARM:]) * 1e3
+        ts = np.asarray(ts[WARM:] if len(ts) > WARM else ts) * 1e3
         tot += ts.mean()
         print(f"{name:28s} {ts.mean():9.1f} {np.median(ts):9.1f} "
               f"{ts.max():9.1f}")
