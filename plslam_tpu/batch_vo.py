@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .core.camera import StereoCamera
 from .frontend.frame import (FrontendConfig, _match_stereo_lines,
-                             _match_stereo_points, make_batched_detectors)
+                             _match_stereo_points, make_batched_detectors,
+                             make_sharded_detectors)
 from .frontend.features import StereoFeatures
 from .frontend.tracker import TrackerConfig
 from .vo import VOParams, VOState, _match_and_track
@@ -65,14 +66,15 @@ class BatchedVisualOdometry:
         self._det_ls1 = det_ls
         self._stack_trees = jax.jit(
             lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees))
-        # under a mesh sharding the batch axis must stay partitioned, so
-        # the vmapped whole-batch program is used (each device then runs
-        # its own small sub-batch); the Pallas score kernel cannot be
-        # vmapped (ANY-space operand), so this path pins the XLA scorer
-        det_pts_x, det_ls_x = make_batched_detectors(
-            fcfg._replace(use_pallas_fast=False))
-        self._det_pts_v = jax.jit(jax.vmap(det_pts_x, in_axes=(0, 0)))
-        self._det_ls_v = jax.jit(jax.vmap(det_ls_x))
+        # under a mesh sharding the batch axis must stay partitioned:
+        # shard_map runs the full batch detection program per device on
+        # its local sub-batch, so the Pallas kernels (which cannot be
+        # vmapped — ANY-space operands) still run when distributed
+        if sharding is not None:
+            self._det_pts_v, self._det_ls_v = make_sharded_detectors(
+                fcfg, sharding)
+        else:
+            self._det_pts_v = self._det_ls_v = None
 
         def _match_pair(kp_pair, seg_pair):
             (kp, pdesc) = kp_pair

@@ -52,6 +52,11 @@ class FrontendConfig(NamedTuple):
     # runtime — only scalar fetches force execution), so the kernel stays
     # opt-in.  None = off.
     use_pallas_fast: bool | None = None
+    # Pallas block-DMA patch gather for the describe stages (ORB + LBD).
+    # Bit-identical patches; standalone it beats the one-hot extraction
+    # 1.75 vs 2.29 ms at ORB scale.  None = off (opt-in until the
+    # end-to-end win is confirmed on the benched chip).
+    use_pallas_patches: bool | None = None
 
 
 def _sigma2(level: jax.Array, scale_factor: float) -> jax.Array:
@@ -82,7 +87,48 @@ def make_batched_detectors(cfg: FrontendConfig):
     explicitly)."""
     det_pts = jax.jit(
         lambda imgs, th: _detect_describe_points_batch(imgs, cfg, th))
-    det_ls = jax.jit(jax.vmap(lambda im: _detect_describe_lines(im, cfg)))
+    if cfg.use_pallas_patches:
+        det_ls = jax.jit(lambda imgs: _detect_describe_lines_batch(imgs, cfg))
+    else:
+        det_ls = jax.jit(jax.vmap(lambda im: _detect_describe_lines(im, cfg)))
+    return det_pts, det_ls
+
+
+def make_sharded_detectors(cfg: FrontendConfig, sharding):
+    """Batched detectors shard_mapped over the sequence axis of a mesh.
+
+    Each device runs the full batch detection program on its local
+    (B_local, 2, H, W) sub-batch, so ANY-space Pallas kernels (FAST score,
+    block-DMA patch gather) run under distribution — a vmapped pallas_call
+    cannot batch its operands, which is why the plain vmap path had to pin
+    the XLA formulations.  ``sharding`` is a NamedSharding whose spec
+    partitions the leading (sequence-batch) axis."""
+    from jax.sharding import PartitionSpec
+
+    mesh = sharding.mesh
+    pspec = PartitionSpec(sharding.spec[0])
+
+    def pts_local(imgs, th):
+        Bl = imgs.shape[0]
+        flat = imgs.reshape((Bl * 2,) + imgs.shape[2:])
+        out = _detect_describe_points_batch(flat, cfg, jnp.repeat(th, 2))
+        return jax.tree.map(
+            lambda x: x.reshape((Bl, 2) + x.shape[1:]), out)
+
+    def ls_local(imgs):
+        Bl = imgs.shape[0]
+        flat = imgs.reshape((Bl * 2,) + imgs.shape[2:])
+        if cfg.use_pallas_patches:
+            out = _detect_describe_lines_batch(flat, cfg)
+        else:
+            out = jax.vmap(lambda im: _detect_describe_lines(im, cfg))(flat)
+        return jax.tree.map(
+            lambda x: x.reshape((Bl, 2) + x.shape[1:]), out)
+
+    det_pts = jax.jit(jax.shard_map(
+        pts_local, mesh=mesh, in_specs=(pspec, pspec), out_specs=pspec))
+    det_ls = jax.jit(jax.shard_map(
+        ls_local, mesh=mesh, in_specs=(pspec,), out_specs=pspec))
     return det_pts, det_ls
 
 
@@ -151,7 +197,10 @@ def _detect_describe_points_batch(imgs, cfg: FrontendConfig, fast_th=None):
     kp = fast.detect_pyramid_batch(list(levels), th, cfg.n_points,
                                    cfg.edge_th, cfg.scale_factor,
                                    pallas=_use_pallas(cfg))
-    desc, _ = jax.vmap(orb.describe)(imgs, kp.xy, kp.valid)
+    if cfg.use_pallas_patches:
+        desc, _ = orb.describe_batch(imgs, kp.xy, kp.valid)
+    else:
+        desc, _ = jax.vmap(orb.describe)(imgs, kp.xy, kp.valid)
     return kp, desc
 
 
@@ -199,6 +248,18 @@ def _detect_describe_lines(img, cfg: FrontendConfig):
     seg = lines.detect_segments(img, det_cfg)
     seg = seg._replace(valid=seg.valid & (seg.length >= min_len))
     desc = lbd.describe(img, seg.sp, seg.ep, seg.valid)
+    return seg, desc
+
+
+def _detect_describe_lines_batch(imgs, cfg: FrontendConfig):
+    """(B, H, W) stack -> batched segments + LBD descriptors through the
+    Pallas block-DMA patch gather (detection itself is vmapped; only the
+    describe stage needs the explicit batch axis)."""
+    min_len = cfg.min_line_length_frac * max(imgs.shape[1:])
+    det_cfg = lines.LineDetectorConfig(max_out=cfg.n_lines)
+    seg = jax.vmap(lambda im: lines.detect_segments(im, det_cfg))(imgs)
+    seg = seg._replace(valid=seg.valid & (seg.length >= min_len))
+    desc = lbd.describe_batch(imgs, seg.sp, seg.ep, seg.valid)
     return seg, desc
 
 

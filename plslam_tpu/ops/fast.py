@@ -191,12 +191,14 @@ def detect_pyramid_batch(levels, threshold, max_total: int, border: int,
     all_xy, all_s, all_l, all_v = [], [], [], []
     B = levels[0].shape[0]
     for i, imgs in enumerate(levels):
+        thr = jnp.asarray(threshold)
         if pallas:
             from .pallas_fast import fast_score_nms_batch
 
-            raw, s = fast_score_nms_batch(imgs, threshold)
+            raw, s = fast_score_nms_batch(imgs, thr)
         else:
-            raw = jax.vmap(lambda im: fast_score_map(im, threshold))(imgs)
+            raw = jax.vmap(fast_score_map,
+                           in_axes=(0, 0 if thr.ndim else None))(imgs, thr)
             s = jax.vmap(nms3x3)(raw)
         kp = jax.vmap(lambda r, ss: select_corners(r, ss, per, border))(raw, s)
         scale = scale_factor ** i

