@@ -53,9 +53,11 @@ class FrontendConfig(NamedTuple):
     # opt-in.  None = off.
     use_pallas_fast: bool | None = None
     # Pallas block-DMA patch gather for the describe stages (ORB + LBD).
-    # Bit-identical patches; standalone it beats the one-hot extraction
-    # 1.75 vs 2.29 ms at ORB scale.  None = off (opt-in until the
-    # end-to-end win is confirmed on the benched chip).
+    # Bit-identical patches to the one-hot extraction; with the banded-MXU
+    # blur/sobel feeding it (default layouts — no relayout copy before the
+    # custom call) the batched detect stages measure 3.15/4.25 ms vs
+    # 4.86/5.65 ms XLA-only on the benched chip.  None = auto: on when the
+    # default backend is TPU (interpret-free Pallas), off elsewhere.
     use_pallas_patches: bool | None = None
 
 
@@ -87,7 +89,7 @@ def make_batched_detectors(cfg: FrontendConfig):
     explicitly)."""
     det_pts = jax.jit(
         lambda imgs, th: _detect_describe_points_batch(imgs, cfg, th))
-    if cfg.use_pallas_patches:
+    if _use_pallas_patches(cfg):
         det_ls = jax.jit(lambda imgs: _detect_describe_lines_batch(imgs, cfg))
     else:
         det_ls = jax.jit(jax.vmap(lambda im: _detect_describe_lines(im, cfg)))
@@ -118,7 +120,7 @@ def make_sharded_detectors(cfg: FrontendConfig, sharding):
     def ls_local(imgs):
         Bl = imgs.shape[0]
         flat = imgs.reshape((Bl * 2,) + imgs.shape[2:])
-        if cfg.use_pallas_patches:
+        if _use_pallas_patches(cfg):
             out = _detect_describe_lines_batch(flat, cfg)
         else:
             out = jax.vmap(lambda im: _detect_describe_lines(im, cfg))(flat)
@@ -172,6 +174,16 @@ def _use_pallas(cfg: FrontendConfig) -> bool:
     return bool(cfg.use_pallas_fast)
 
 
+def _use_pallas_patches(cfg: FrontendConfig) -> bool:
+    if cfg.use_pallas_patches is None:
+        # the default DEVICE decides (not default_backend(): tests pin
+        # jax_default_device to CPU while the axon TPU platform still
+        # outranks it in the backend list)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        return dev.platform == "tpu"
+    return bool(cfg.use_pallas_patches)
+
+
 def _detect_describe_points(img, cfg: FrontendConfig, fast_th=None):
     from ..ops.image import build_pyramid
 
@@ -197,7 +209,7 @@ def _detect_describe_points_batch(imgs, cfg: FrontendConfig, fast_th=None):
     kp = fast.detect_pyramid_batch(list(levels), th, cfg.n_points,
                                    cfg.edge_th, cfg.scale_factor,
                                    pallas=_use_pallas(cfg))
-    if cfg.use_pallas_patches:
+    if _use_pallas_patches(cfg):
         desc, _ = orb.describe_batch(imgs, kp.xy, kp.valid)
     else:
         desc, _ = jax.vmap(orb.describe)(imgs, kp.xy, kp.valid)

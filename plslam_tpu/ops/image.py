@@ -1,54 +1,79 @@
 """Basic image ops: separable Gaussian blur, Sobel gradients, pyramids,
-bilinear sampling.  All are fixed-shape jnp programs that XLA fuses; the
-convolutions lower to TPU conv/matmul units.
+bilinear sampling.  All are fixed-shape jnp programs that XLA fuses.
+
+Separable small-kernel filters are formulated as **banded-matrix MXU
+matmuls** (out = K_rows @ img @ K_cols^T) instead of lax.conv:
+
+- the TPU conv emitter picks a batch-in-lanes output layout
+  ({0,1,3,2:T(1,128)}), and any Mosaic custom call consuming the result
+  demands the default {2,1,0:T(8,128)} layout — XLA inserts a relayout
+  copy measured at ~13 ms per frame pair, 6x the whole describe stage;
+- the conv's default accumulation loses ~3 decimal digits (0.8 absolute
+  on a 0..255 image vs a float64 oracle); the banded matmul in HIGHEST
+  precision is exact to 3e-5 and costs ~0.9 GFLOP per 480x752 image —
+  noise for the MXU.
 """
 
 from __future__ import annotations
 
+import functools
 import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 
-def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+def _gaussian_taps(sigma: float, radius: int | None = None) -> np.ndarray:
     if radius is None:
         radius = max(1, int(math.ceil(3.0 * sigma)))
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+    return jnp.asarray(_gaussian_taps(sigma, radius), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix(taps: tuple, n: int) -> np.ndarray:
+    """(n, n) banded filter matrix with edge-replicated boundaries:
+    out[i] = sum_j taps[j] * in[clip(i + j - r, 0, n-1)]."""
+    k = np.asarray(taps, np.float64)
+    r = (len(k) - 1) // 2
+    M = np.zeros((n, n), np.float64)
+    rows = np.repeat(np.arange(n), len(k))
+    cols = np.clip(np.add.outer(np.arange(n), np.arange(len(k)) - r),
+                   0, n - 1).ravel()
+    np.add.at(M, (rows, cols), np.tile(k, n))
+    return M.astype(np.float32)
+
+
+def _sep_filter(img: jax.Array, row_taps: tuple, col_taps: tuple) -> jax.Array:
+    H, W = img.shape
+    KY = jnp.asarray(_band_matrix(row_taps, H), img.dtype)
+    KXT = jnp.asarray(_band_matrix(col_taps, W).T, img.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return jax.lax.dot(jax.lax.dot(KY, img, precision=hi), KXT, precision=hi)
 
 
 def blur(img: jax.Array, sigma: float) -> jax.Array:
     """Separable Gaussian blur of (H, W) image, edge-replicated."""
-    k = gaussian_kernel1d(sigma).astype(img.dtype)
-    r = (k.shape[0] - 1) // 2
-    padded = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    v = jax.lax.conv_general_dilated(
-        padded[None, None], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    padded = jnp.pad(v, ((0, 0), (r, r)), mode="edge")
-    h = jax.lax.conv_general_dilated(
-        padded[None, None], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    return h
+    taps = tuple(_gaussian_taps(sigma))
+    return _sep_filter(img, taps, taps)
+
+
+_SOBEL_SMOOTH = (1.0, 2.0, 1.0)
+_SOBEL_DIFF = (-1.0, 0.0, 1.0)
 
 
 def sobel(img: jax.Array):
     """(gx, gy) Sobel gradients with replicate padding."""
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype)
-    ky = kx.T
-    p = jnp.pad(img, 1, mode="edge")
-
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            p[None, None], k[None, None],
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-
-    return conv(kx), conv(ky)
+    gx = _sep_filter(img, _SOBEL_SMOOTH, _SOBEL_DIFF)
+    gy = _sep_filter(img, _SOBEL_DIFF, _SOBEL_SMOOTH)
+    return gx, gy
 
 
 def resize_bilinear(img: jax.Array, shape: tuple[int, int]) -> jax.Array:

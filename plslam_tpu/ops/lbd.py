@@ -50,6 +50,12 @@ def _pair_pattern(seed: int = 4321) -> np.ndarray:
 _PAIRS = _pair_pattern()
 
 
+def _patch_centers(sp: jax.Array, ep: jax.Array) -> jax.Array:
+    """(K, Q, 2) evenly spaced patch centers along each segment."""
+    tq = (jnp.arange(Q_PATCHES, dtype=sp.dtype) + 0.5) / Q_PATCHES
+    return sp[:, None, :] + tq[None, :, None] * (ep - sp)[:, None, :]
+
+
 def describe(img: jax.Array, sp: jax.Array, ep: jax.Array, valid: jax.Array):
     """(K, 8) uint32 packed LBD descriptors for segments (sp, ep)."""
     g = blur(img, 1.4)
@@ -57,21 +63,45 @@ def describe(img: jax.Array, sp: jax.Array, ep: jax.Array, valid: jax.Array):
     H, W = gx.shape
     K = sp.shape[0]
 
+    # one pair of selection matrices serves BOTH gradient images — the
+    # one-hots are built once, each extraction is one big MXU matmul
+    c2 = _patch_centers(sp, ep).reshape(K * Q_PATCHES, 2)
+    OY, OX = make_patch_onehots(c2, PATCH, H, W, center_offset=CENTER)
+    px = apply_patch_onehots(gx, OY, OX)                # (KQ, P, P)
+    py = apply_patch_onehots(gy, OY, OX)
+    return _describe_from_patches(px, py, sp, ep, valid)
+
+
+def describe_batch(imgs: jax.Array, sp: jax.Array, ep: jax.Array,
+                   valid: jax.Array):
+    """Batched LBD on a (B, H, W) stack via the Pallas block-DMA patch
+    gather: gx and gy of all images stack into one (2B, H, W) batch so a
+    single kernel launch serves both gradient fields (bit-identical
+    patches to the one-hot path).  sp/ep/valid carry leading (B,)."""
+    from .pallas_patches import gather_patches_batch
+
+    B, K = sp.shape[0], sp.shape[1]
+    g = jax.vmap(lambda im: blur(im, 1.4))(imgs)
+    gx, gy = jax.vmap(sobel)(g)                         # (B, H, W) each
+    c2 = jax.vmap(_patch_centers)(sp, ep).reshape(B, K * Q_PATCHES, 2)
+    y0 = jnp.floor(c2[..., 1] + 0.5).astype(jnp.int32) - int(CENTER)
+    x0 = jnp.floor(c2[..., 0] + 0.5).astype(jnp.int32) - int(CENTER)
+    pat = gather_patches_batch(
+        jnp.concatenate([gx, gy], axis=0),
+        jnp.concatenate([y0, y0], axis=0),
+        jnp.concatenate([x0, x0], axis=0), PATCH)       # (2B, KQ, P, P)
+    return jax.vmap(_describe_from_patches)(pat[:B], pat[B:], sp, ep, valid)
+
+
+def _describe_from_patches(px: jax.Array, py: jax.Array, sp: jax.Array,
+                           ep: jax.Array, valid: jax.Array):
+    """Descriptor tail shared by the one-hot and block-DMA patch paths;
+    px/py: (K*Q, P, P) gradient patches."""
+    K = sp.shape[0]
     d = ep - sp
     length = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
     dl = d / length                                     # line direction
     dn = jnp.stack([-dl[..., 1], dl[..., 0]], axis=-1)  # normal
-
-    # patch centers along the segment
-    tq = (jnp.arange(Q_PATCHES, dtype=sp.dtype) + 0.5) / Q_PATCHES
-    centers = sp[:, None, :] + tq[None, :, None] * d[:, None, :]  # (K, Q, 2)
-
-    # one pair of selection matrices serves BOTH gradient images — the
-    # one-hots are built once, each extraction is one big MXU matmul
-    c2 = centers.reshape(K * Q_PATCHES, 2)
-    OY, OX = make_patch_onehots(c2, PATCH, H, W, center_offset=CENTER)
-    px = apply_patch_onehots(gx, OY, OX)                # (KQ, P, P)
-    py = apply_patch_onehots(gy, OY, OX)
 
     # line-aligned sample grid inside each patch
     half = (BANDS * BAND_W) / 2.0

@@ -64,7 +64,27 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
     smoothed = blur(img, blur_sigma)
     patches = extract_patches(smoothed, xy, PATCH,
                           center_offset=CENTER)    # (K, 48, 48) f32
+    return _describe_from_patches(patches, xy, valid)
 
+
+def describe_batch(imgs: jax.Array, xy: jax.Array, valid: jax.Array,
+                   blur_sigma: float = 2.0):
+    """Batched describe on a (B, H, W) stack via the Pallas block-DMA
+    patch gather (bit-identical patches to the one-hot path; a vmapped
+    pallas_call cannot batch its ANY-space operand, so the batch axis is
+    threaded through the kernel's own grid).  xy: (B, K, 2)."""
+    from .pallas_patches import gather_patches_batch
+
+    smoothed = jax.vmap(lambda im: blur(im, blur_sigma))(imgs)
+    y0 = jnp.floor(xy[..., 1] + 0.5).astype(jnp.int32) - int(CENTER)
+    x0 = jnp.floor(xy[..., 0] + 0.5).astype(jnp.int32) - int(CENTER)
+    patches = gather_patches_batch(smoothed, y0, x0, PATCH)
+    return jax.vmap(_describe_from_patches)(patches, xy, valid)
+
+
+def _describe_from_patches(patches: jax.Array, xy: jax.Array,
+                           valid: jax.Array):
+    """Descriptor tail shared by the one-hot and block-DMA patch paths."""
     # orientation by intensity centroid over the patch disc
     kx = jnp.asarray(_KX, patches.dtype)
     ky = jnp.asarray(_KY, patches.dtype)
@@ -78,7 +98,7 @@ def describe(img: jax.Array, xy: jax.Array, valid: jax.Array,
 
     # rotated pattern -> in-patch coords (nearest sampling, like OpenCV's
     # integer rounding); the sub-pixel keypoint offset shifts the center
-    pat = jnp.asarray(_PATTERN, smoothed.dtype)       # (256, 2, 2)
+    pat = jnp.asarray(_PATTERN, patches.dtype)        # (256, 2, 2)
     px, py = pat[..., 0], pat[..., 1]                 # (256, 2)
     rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
     ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]

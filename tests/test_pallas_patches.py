@@ -41,3 +41,33 @@ def test_gather_patches_small_patch_and_group():
                                jnp.asarray(x0), patch=P, group=4,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(out), _exact(img, y0, x0, P))
+
+
+def test_describe_batch_matches_vmapped(monkeypatch):
+    """orb/lbd describe_batch (block-DMA patches) == vmapped one-hot path."""
+    import functools
+    import jax
+
+    from plslam_tpu.ops import lbd, orb
+    from plslam_tpu.ops import pallas_patches as pp
+
+    monkeypatch.setattr(pp, "gather_patches_batch",
+                        functools.partial(pp.gather_patches_batch.__wrapped__,
+                                          interpret=True))
+    rng = np.random.default_rng(2)
+    B, H, W, K = 2, 96, 128, 24
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(24, 70, (B, K, 2)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(B, K)) > 0.2)
+    want_d, want_th = jax.vmap(orb.describe)(imgs, xy, valid)
+    got_d, got_th = orb.describe_batch(imgs, xy, valid)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+    np.testing.assert_allclose(np.asarray(got_th)[np.asarray(valid)],
+                               np.asarray(want_th)[np.asarray(valid)],
+                               rtol=1e-6)
+
+    sp = jnp.asarray(rng.uniform(30, 60, (B, K, 2)).astype(np.float32))
+    ep = sp + jnp.asarray(rng.uniform(-20, 20, (B, K, 2)).astype(np.float32))
+    want = jax.vmap(lbd.describe)(imgs, sp, ep, valid)
+    got = lbd.describe_batch(imgs, sp, ep, valid)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
