@@ -163,6 +163,8 @@ def plot_frame(img, feats, path: str, title: str = "stereo frame"):
 
 def render_run(slam, out_dir: str, gt=None) -> list[str]:
     """Standard artifact set for a finished PLSLAM run."""
+    from .viz_scene import export_scene_html
+
     os.makedirs(out_dir, exist_ok=True)
     traj = slam.keyframe_trajectory()
     out = [
@@ -171,5 +173,7 @@ def render_run(slam, out_dir: str, gt=None) -> list[str]:
         plot_map(slam.mapper, os.path.join(out_dir, "map.png")),
         plot_covisibility(slam.mapper,
                           os.path.join(out_dir, "covisibility.png")),
+        export_scene_html(slam.mapper, os.path.join(out_dir, "scene.html"),
+                          gt=gt),
     ]
     return out

@@ -1,0 +1,52 @@
+"""Interactive scene export (slamScene analog): the standalone HTML embeds
+the full renderable map state as JSON."""
+
+import json
+import re
+
+import numpy as np
+
+from _map_fixtures import World, lateral_poses, make_camera, render_features
+from plslam_tpu.backend.mapping import MapConfig, MapHandler
+from plslam_tpu.viz_scene import _scene_data, export_scene_html
+
+
+def _mapper(n_kf=5):
+    cam = make_camera()
+    world = World(n_pts=120, n_ls=12)
+    mapper = MapHandler(cam, MapConfig(ba_points=2048, ba_pobs=8192,
+                                       ba_lobs=2048))
+    poses = lateral_poses(n_kf, 0.05)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
+    return mapper
+
+
+def test_scene_data_counts_and_geometry():
+    mapper = _mapper()
+    m = mapper.map
+    data = _scene_data(mapper, gt=np.zeros((4, 3)))
+    assert len(data["points"]) == int(np.sum(m.pt_valid))
+    assert len(data["kf_T"]) == len(m.keyframes)
+    assert len(data["lines"]) > 0 and len(data["lines"]) <= len(m.ls_valid)
+    # every KF pose row is 3x4
+    assert all(len(T) == 3 and len(T[0]) == 4 for T in data["kf_T"])
+    # the fixture world is co-visible across all KFs -> far covis edge
+    G = np.asarray(m.covis)
+    n_exp = int(np.sum(np.triu(G, 1) >= data["cov_threshold"]))
+    assert len(data["cov_edges"]) == n_exp > 0
+    assert len(data["gt"]) == 4
+
+
+def test_scene_html_is_selfcontained(tmp_path):
+    mapper = _mapper()
+    path = export_scene_html(mapper, str(tmp_path / "scene.html"))
+    html = open(path).read()
+    # no external resources — a single file must render offline
+    assert "http://" not in html and "https://" not in html
+    assert "<script src" not in html
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "embedded DATA blob missing"
+    data = json.loads(m.group(1))
+    assert data["kf_T"] and data["points"]
