@@ -190,3 +190,38 @@ def test_fixed_pose_untouched():
     res = jax.jit(ba.bundle_adjust, static_argnums=2)(prob, CAM, CFG)
     np.testing.assert_allclose(
         np.asarray(res.problem.T_c_w[0]), np.asarray(prob.T_c_w[0]), atol=0)
+
+
+def test_padded_obs_rows_have_zero_effect():
+    """Invariant (r1 review weak #6): padded observation rows — cam=0,
+    lm=0, valid=False, arbitrary garbage observations — must not change
+    the solution at all.  Correctness must not silently depend on the
+    garbage being benign."""
+    prob, *_ = make_problem(K=3, P=10, L=4)
+    run = jax.jit(lambda p: ba.lm_rounds(p, CAM, CFG, p.p_valid,
+                                         p.l_valid, 5))
+    clean, _ = run(prob)
+
+    garbage = 1e8
+    z32 = lambda n: jnp.zeros(n, jnp.int32)
+    dt = prob.p_uv.dtype
+    padded = prob._replace(
+        p_cam=jnp.concatenate([prob.p_cam, z32(7)]),
+        p_lm=jnp.concatenate([prob.p_lm, z32(7)]),
+        p_uv=jnp.concatenate([prob.p_uv, jnp.full((7, 2), garbage, dt)]),
+        p_sigma2=jnp.concatenate([prob.p_sigma2, jnp.full(7, garbage, dt)]),
+        p_valid=jnp.concatenate([prob.p_valid, jnp.zeros(7, bool)]),
+        l_cam=jnp.concatenate([prob.l_cam, z32(5)]),
+        l_lm=jnp.concatenate([prob.l_lm, z32(5)]),
+        l_sobs=jnp.concatenate([prob.l_sobs, jnp.full((5, 2), -garbage, dt)]),
+        l_eobs=jnp.concatenate([prob.l_eobs, jnp.full((5, 2), garbage, dt)]),
+        l_sigma2=jnp.concatenate([prob.l_sigma2, jnp.full(5, garbage, dt)]),
+        l_valid=jnp.concatenate([prob.l_valid, jnp.zeros(5, bool)]),
+    )
+    run_p = jax.jit(lambda p: ba.lm_rounds(p, CAM, CFG, p.p_valid,
+                                           p.l_valid, 5))
+    dirty, _ = run_p(padded)
+    for name in ("T_c_w", "points", "lines_orth"):
+        np.testing.assert_array_equal(np.asarray(getattr(clean, name)),
+                                      np.asarray(getattr(dirty, name)),
+                                      err_msg=name)
