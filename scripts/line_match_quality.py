@@ -1,0 +1,101 @@
+"""Line-matching quality harness: wrong-match rate of LBD f2f matching on
+rendered synthetic scenes with known 3D line ground truth.
+
+For each of several scenes/motions: detect+describe lines in two views,
+match with the production f2f gating, then associate every detected
+segment to its ground-truth 3D line (projected angle + midpoint distance).
+A match is CORRECT when both segments map to the same GT line.  Prints
+per-config precision/recall-style counts so descriptor changes can be
+judged quantitatively (round-1 review weak #8: patch-LBD wrong-match rate
+visible on low-texture scenes).
+
+Run on CPU: JAX_PLATFORMS=cpu python scripts/line_match_quality.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from plslam_tpu.frontend.frame import FrontendConfig, _detect_describe_lines
+from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+from plslam_tpu.ops import matching as M
+
+
+def _gt_assoc(scene, T_w_c, sp, ep, valid, ang_tol=0.12, dist_tol=3.5):
+    """Greedy association of detected segments to GT lines in one view.
+    Returns (K,) GT index or -1."""
+    T_c_w = np.linalg.inv(T_w_c)
+    ua, va, za = scene.project(T_c_w, scene.LA)
+    ub, vb, zb = scene.project(T_c_w, scene.LB)
+    front = (za > 0.3) & (zb > 0.3)
+    ga = np.stack([ua, va], -1)
+    gb = np.stack([ub, vb], -1)
+    gd = gb - ga
+    gn = np.linalg.norm(gd, axis=-1)
+    gdir = gd / np.maximum(gn[:, None], 1e-9)
+
+    out = np.full(len(sp), -1, np.int64)
+    mid = 0.5 * (np.asarray(sp) + np.asarray(ep))
+    ddet = np.asarray(ep) - np.asarray(sp)
+    ddet = ddet / np.maximum(np.linalg.norm(ddet, axis=-1, keepdims=True),
+                             1e-9)
+    for i in range(len(sp)):
+        if not valid[i]:
+            continue
+        cosang = np.abs(ddet[i] @ gdir.T)
+        rel = mid[i] - ga
+        # distance of detected midpoint to the GT infinite line
+        dist = np.abs(rel[:, 0] * (-gdir[:, 1]) + rel[:, 1] * gdir[:, 0])
+        # and the midpoint must project inside the GT span (+ margin)
+        t = rel[:, 0] * gdir[:, 0] + rel[:, 1] * gdir[:, 1]
+        inside = (t > -10) & (t < gn + 10)
+        cand = front & inside & (cosang > np.cos(ang_tol)) & (dist < dist_tol)
+        if cand.any():
+            out[i] = int(np.argmin(np.where(cand, dist, 1e9)))
+    return out
+
+
+def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label=""):
+    det = jax.jit(lambda im: _detect_describe_lines(im, cfg))
+    match = jax.jit(lambda da, db, mask: M.match_descriptors(
+        da, db, mask, 0.9))
+    tot_m, tot_ok, tot_det = 0, 0, 0
+    for seed in range(n_scenes):
+        scene = SyntheticScene(n_points=250, n_lines=48, seed=seed)
+        poses = circular_trajectory(n_steps + 1, step_t=0.07, step_r=0.012)
+        views = []
+        for T in poses:
+            il, _ = scene.render_stereo(T, noise=1.5)
+            seg, desc = det(jnp.asarray(il))
+            gt = _gt_assoc(scene, T, seg.sp, seg.ep, np.asarray(seg.valid))
+            views.append((seg, desc, gt, T))
+        for (sa, da, ga, _), (sb, db, gb, _) in zip(views, views[1:]):
+            mask = M.line_pair_mask(sa.sp, sa.ep, sb.sp, sb.ep,
+                                    sa.valid, sb.valid,
+                                    radius=cfg.line_window,
+                                    min_dir_cos=cfg.line_sim_th)
+            res = match(da, db, mask)
+            idx = np.asarray(res.idx)
+            for i, j in enumerate(idx):
+                if j < 0 or ga[i] < 0:
+                    continue
+                tot_m += 1
+                tot_ok += int(ga[i] == gb[j])
+            tot_det += int((ga >= 0).sum())
+    wrong = tot_m - tot_ok
+    print(f"{label:24s} matches={tot_m:4d} correct={tot_ok:4d} "
+          f"wrong={wrong:3d} ({100.0 * wrong / max(tot_m, 1):.1f}%) "
+          f"gt-visible detections={tot_det}")
+    return tot_m, tot_ok
+
+
+if __name__ == "__main__":
+    run(FrontendConfig(), label="baseline")
