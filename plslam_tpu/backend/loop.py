@@ -44,6 +44,13 @@ class LoopConfig:
     min_ls_matches: int = 6     # SlamConfig::minLineMatches (slamConfig:86)
     vocab_k: int = 8
     vocab_depth: int = 3
+    # Retrain the ONLINE vocabulary every N keyframes (0 = train once).
+    # The initial vocabulary is fit on the first ~500 descriptors, which
+    # stops being representative as the map grows; a refresh re-encodes
+    # every KF and rebuilds the conf matrix.  Ignored when a pretrained
+    # vocabulary_file is configured (reference semantics: fixed DBoW2
+    # vocabulary, mapHandler.cpp:41-44).
+    vocab_refresh_kfs: int = 0
     vocabulary_file: str = ""   # pre-trained DBoW2 yml(.gz); "" = online
     vocabulary_file_l: str = "" # line-descriptor vocabulary (dbow_voc_l)
     use_line_bow: bool = True   # combined P+L scoring (insertKFBowVectorPL)
@@ -194,6 +201,29 @@ class LoopCloser:
         return ((sp * n_pt + sl * n_ls) / n_pl
                 + (sp * std_pt + sl * std_ls) / std_pl).astype(np.float32)
 
+    def _retrain_vocabulary(self):
+        """Online-vocabulary refresh (vocab_refresh_kfs): retrain on the
+        full descriptor corpus of the CURRENT map, re-encode every KF, and
+        rebuild the conf matrix.  _ensure_vocab back-fills keyframes[:-1];
+        the newest KF's record and conf row are appended here, keeping
+        bow/conf aligned with keyframe ids exactly like on_new_keyframe."""
+        self.voc = None
+        self.voc_l = None
+        self._tf = None
+        self._tf_l = None
+        self.bow = []
+        if not self._ensure_vocab():
+            return
+        v = self._bow_of(self.mapper.map.keyframes[-1])
+        self.bow.append(v)
+        k = len(self.bow)
+        conf = np.zeros((k, k), np.float32)
+        conf[: k - 1, : k - 1] = self.conf
+        row = self._score_against(v, self.bow[: k - 1])
+        conf[k - 1, : k - 1] = row
+        conf[: k - 1, k - 1] = row
+        self.conf = conf
+
     def on_new_keyframe(self) -> dict | None:
         """Call after MapHandler.add_keyframe: update the conf matrix and
         attempt one loop closure.  Returns a report dict when a loop was
@@ -214,6 +244,10 @@ class LoopCloser:
         conf[k - 1, : k - 1] = row
         conf[: k - 1, k - 1] = row
         self.conf = conf
+
+        if (self.cfg.vocab_refresh_kfs and not self.cfg.vocabulary_file
+                and k % self.cfg.vocab_refresh_kfs == 0):
+            self._retrain_vocabulary()
 
         cand = self._look_for_candidates(kf.id)
         if cand is None:

@@ -106,6 +106,7 @@ class PLSLAMConfig:
     max_iters_lba: int = 15
     vocabulary_p: str = ""
     vocabulary_l: str = ""
+    vocab_refresh_kfs: int = 0  # retrain online vocab every N KFs (0 = once)
     # checkpointing (not in the reference; SURVEY.md §5 restartability)
     checkpoint_every_kf: int = 0   # 0 = off
     checkpoint_dir: str = "checkpoints"
@@ -215,6 +216,7 @@ class PLSLAMConfig:
             min_pt_matches=self.min_pt_matches,
             vocabulary_file=self.vocabulary_p,
             vocabulary_file_l=self.vocabulary_l,
+            vocab_refresh_kfs=self.vocab_refresh_kfs,
             pgo_iters=min(self.max_iters_pgo, 25),
             fuse_dist=self.max_point_point_error,
         )

@@ -137,3 +137,18 @@ def test_essential_graph_variant():
     drift_after = np.linalg.norm(
         kf.T_w_k[:3, 3] - T_true[len(T_true) - 1][:3, 3])
     assert drift_after < 0.5 * drift_before, (drift_before, drift_after)
+
+
+def test_vocab_refresh_keeps_loop_closing():
+    """vocab_refresh_kfs: periodic online-vocabulary retraining re-encodes
+    every KF, keeps bow/conf aligned, and the revisit still closes."""
+    mapper, closer, reports, T_true, drift_before = _run_loop_scenario(
+        vocab_refresh_kfs=4)
+    k = len(mapper.map.keyframes)
+    assert len(closer.bow) == k
+    assert closer.conf.shape == (k, k)
+    np.testing.assert_allclose(closer.conf, closer.conf.T, atol=0)
+    assert reports, "loop must still close after vocabulary refreshes"
+    drift_after = np.linalg.norm(
+        mapper.map.keyframes[-1].T_w_k[:3, 3] - T_true[-1][:3, 3])
+    assert drift_after < drift_before
