@@ -61,3 +61,39 @@ def clipped_mad_scale(res: jax.Array, mask: jax.Array,
     (stereoFrameHandler.cpp:612-650)."""
     s = mad_stdv(res, mask)
     return jnp.clip(s, th_min, th_max)
+
+
+def clipped_mad_scale_pair(res_a: jax.Array, mask_a: jax.Array,
+                           res_b: jax.Array, mask_b: jax.Array,
+                           th_min: float = 1e-4,
+                           th_max: float = 7.815 ** 0.5):
+    """Both modalities' clipped MAD scales with BATCHED sorts.
+
+    The GN tracker needs the point and line scales every iteration; done
+    separately that is 4 sorts per iteration (median + median-of-
+    deviations, per modality).  A TPU sort is vectorized across leading
+    axes, so padding the two residual vectors to a common width and
+    sorting a (2, N) stack costs about one sort — this helper halves the
+    sort count of the tracker's hottest sequential loop.  Per-row results
+    are bit-identical to clipped_mad_scale (padding enters masked-False,
+    i.e. +inf, beyond each row's true slots)."""
+    n = max(res_a.shape[-1], res_b.shape[-1])
+    dt = res_a.dtype
+
+    def pad(x, fill):
+        return jnp.pad(x, (0, n - x.shape[-1]), constant_values=fill)
+
+    x = jnp.stack([pad(res_a.astype(dt), 0), pad(res_b.astype(dt), 0)])
+    m = jnp.stack([pad(mask_a, False), pad(mask_b, False)])
+
+    def med2(v):
+        n_valid = jnp.sum(m.astype(jnp.int32), axis=-1)           # (2,)
+        vs = jnp.sort(jnp.where(m, v, jnp.asarray(jnp.inf, dt)), axis=-1)
+        idx = jnp.clip(n_valid // 2, 0, n - 1)
+        got = jnp.take_along_axis(vs, idx[:, None], axis=-1)[:, 0]
+        return jnp.where(n_valid > 0, got, jnp.zeros_like(got))
+
+    med = med2(x)
+    s = MAD_SCALE * med2(jnp.abs(x - med[:, None]))
+    s = jnp.clip(s, th_min, th_max)
+    return s[0], s[1]

@@ -221,9 +221,10 @@ class PLSLAM:
 
     # -- end of run --------------------------------------------------------
 
-    def finish(self, run_gba: bool = True):
+    def finish(self, run_gba: bool = True, mesh=None):
         """finishSLAM + globalBundleAdjustment (app:169-176): drain and
-        join the mapping thread, then run the final global solve."""
+        join the mapping thread, then run the final global solve (on
+        ``mesh`` when one is passed — see global_bundle_adjustment)."""
         if self._map_thread is not None:
             self._kf_queue.put(None)
             self._map_thread.join()
@@ -232,13 +233,23 @@ class PLSLAM:
             if self._map_errors:
                 raise self._map_errors[0]
         if run_gba and len(self.mapper.map.keyframes) >= 3:
-            self.global_bundle_adjustment()
+            self.global_bundle_adjustment(mesh=mesh)
         return self.keyframe_trajectory()
 
-    def global_bundle_adjustment(self):
-        """GBA over all KFs and ALL landmarks, tiled in fixed-shape chunks
-        with accumulated Schur reduction — no silent truncation
-        (mapHandler.cpp globalBundleAdjustment :3022)."""
+    def global_bundle_adjustment(self, mesh=None):
+        """GBA over all KFs and ALL landmarks with no silent truncation
+        (mapHandler.cpp globalBundleAdjustment :3022).
+
+        Single-chip: tiled in fixed-shape landmark chunks with accumulated
+        Schur reduction.  With a multi-device ``jax.sharding.Mesh``: the
+        trajectory is partitioned into keyframe blocks (sequence/\"SP\"
+        axis, BASELINE config 5), each device solves its block and shared
+        landmarks reach consensus by psum between rounds
+        (parallel/dist_gba.py)."""
+        if mesh is not None and mesh.devices.size > 1:
+            from .parallel.dist_gba import (
+                distributed_global_bundle_adjustment)
+            return distributed_global_bundle_adjustment(self.mapper, mesh)
         return self.mapper.global_bundle_adjustment()
 
     def keyframe_trajectory(self):

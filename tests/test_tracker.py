@@ -179,3 +179,22 @@ def test_too_few_features_falls_back_to_identity():
     est, _, _ = run_optimize(pts, ls._replace(valid=jnp.zeros(2, bool)), cfg)
     assert not bool(est.good)
     np.testing.assert_array_equal(np.asarray(est.DT), np.eye(4))
+
+
+def test_clipped_mad_scale_pair_matches_separate():
+    from plslam_tpu.core import robust
+
+    rng = np.random.default_rng(5)
+    r_p = jnp.asarray(rng.normal(size=1200) ** 2)
+    m_p = jnp.asarray(rng.uniform(size=1200) > 0.3)
+    r_l = jnp.asarray(rng.normal(size=256) ** 2)
+    m_l = jnp.asarray(rng.uniform(size=256) > 0.5)
+    s_p, s_l = jax.jit(robust.clipped_mad_scale_pair)(r_p, m_p, r_l, m_l)
+    np.testing.assert_array_equal(
+        np.asarray(s_p), np.asarray(jax.jit(robust.clipped_mad_scale)(r_p, m_p)))
+    np.testing.assert_array_equal(
+        np.asarray(s_l), np.asarray(jax.jit(robust.clipped_mad_scale)(r_l, m_l)))
+    # all-invalid row -> clipped floor, no NaN
+    s0, _ = jax.jit(robust.clipped_mad_scale_pair)(
+        r_p, jnp.zeros(1200, bool), r_l, m_l)
+    assert np.isfinite(float(s0))
