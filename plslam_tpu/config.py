@@ -78,6 +78,13 @@ class PLSLAMConfig:
     orb_patch_size: int = 31
     orb_fast_th: int = 20
     # LSD (:104-113)
+    # lsd_nfeatures/min_line_length/lsd_ang_th map onto the tile-parallel
+    # detector (ops/lines.py).  lsd_refine / lsd_scale / lsd_sigma_scale /
+    # lsd_quant / lsd_log_eps / lsd_density_th / lsd_n_bins parameterize
+    # the reference LSD's NFA region grower (LSDDetector_custom.cpp) and
+    # have NO analog in the reformulated detector — parsed for YAML
+    # compatibility, intentionally unused (the detector's own knobs live
+    # in ops/lines.LineDetectorConfig).
     lsd_nfeatures: int = 300
     lsd_refine: int = 0
     lsd_scale: float = 1.2
@@ -167,6 +174,8 @@ class PLSLAMConfig:
             stereo_overlap_th=self.stereo_overlap_th,
             min_line_length_frac=self.min_line_length,
             line_window=self.matching_s_ws * cell,
+            line_orient_bins=min(32, max(8, round(360.0 / max(
+                self.lsd_ang_th, 1e-6)))),
         )
 
     def tracker(self):

@@ -45,6 +45,10 @@ class FrontendConfig(NamedTuple):
     stereo_overlap_th: float = 0.75
     min_line_length_frac: float = 0.025  # min_line_length * image size
     line_window: float = 120.0
+    # orientation bins of the tile-parallel line detector; 360/lsd_ang_th
+    # (reference lsd_ang_th=22.5 deg <-> 16 bins with the double-bin
+    # assignment of ops/lines.py)
+    line_orient_bins: int = 16
     # Pallas FAST score kernel.  Outputs are bit-identical to the XLA
     # formulation; with the per-cell-argmax selection the batched detect
     # stage measures 4.2 ms (XLA) vs 4.4 ms (Pallas) under forced-sync
@@ -256,7 +260,8 @@ def _match_stereo_points(kp_l, desc_l, kp_r, desc_r,
 
 def _detect_describe_lines(img, cfg: FrontendConfig):
     min_len = cfg.min_line_length_frac * max(img.shape)
-    det_cfg = lines.LineDetectorConfig(max_out=cfg.n_lines)
+    det_cfg = lines.LineDetectorConfig(max_out=cfg.n_lines,
+                                       n_orient=cfg.line_orient_bins)
     seg = lines.detect_segments(img, det_cfg)
     seg = seg._replace(valid=seg.valid & (seg.length >= min_len))
     desc = lbd.describe(img, seg.sp, seg.ep, seg.valid)
@@ -268,7 +273,8 @@ def _detect_describe_lines_batch(imgs, cfg: FrontendConfig):
     Pallas block-DMA patch gather (detection itself is vmapped; only the
     describe stage needs the explicit batch axis)."""
     min_len = cfg.min_line_length_frac * max(imgs.shape[1:])
-    det_cfg = lines.LineDetectorConfig(max_out=cfg.n_lines)
+    det_cfg = lines.LineDetectorConfig(max_out=cfg.n_lines,
+                                       n_orient=cfg.line_orient_bins)
     seg = jax.vmap(lambda im: lines.detect_segments(im, det_cfg))(imgs)
     seg = seg._replace(valid=seg.valid & (seg.length >= min_len))
     desc = lbd.describe_batch(imgs, seg.sp, seg.ep, seg.valid)
