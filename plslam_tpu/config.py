@@ -143,7 +143,10 @@ class PLSLAMConfig:
         if yaml is None:
             return cfg
         with open(path) as f:
-            data = yaml.safe_load(f) or {}
+            # yaml-cpp (the reference's loader) tolerates literal TABs as
+            # whitespace — config/config/config.yaml ships with one — but
+            # strict YAML forbids them; normalize for interchange
+            data = yaml.safe_load(f.read().replace("\t", " ")) or {}
         names = {f.name for f in dataclasses.fields(cls)}
         for k, v in data.items():
             if k in names:

@@ -53,7 +53,9 @@ def load_euroc_calib(params_file: str) -> RectifiedCalib:
     asusxtion / perceptin parameter files (identity maps)."""
     assert yaml is not None
     with open(params_file) as f:
-        data = yaml.safe_load(f)
+        # yaml-cpp tolerates literal TABs (euroc_params.yaml ships with
+        # two inside the R matrix); strict YAML does not — normalize
+        data = yaml.safe_load(f.read().replace("\t", " "))
     c = data["cam0"]
     w, h = int(c["cam_width"]), int(c["cam_height"])
 

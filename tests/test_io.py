@@ -100,3 +100,40 @@ def test_kitti_params_and_layout(tmp_path):
     il, ir, t = ds[1]
     assert il.shape == (376, 1241)
     assert abs(t - 0.1) < 1e-9  # counter filenames -> 10 Hz timestamps
+
+
+def test_reference_run_configs_load():
+    """Every run-config YAML the reference ships loads into PLSLAMConfig
+    with its keys applied (config/config/*.yaml; loadSafe semantics:
+    unknown keys ignored, missing keys keep defaults)."""
+    import glob
+
+    from plslam_tpu.config import PLSLAMConfig
+
+    paths = sorted(glob.glob("/root/reference/config/config/*.yaml"))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = PLSLAMConfig.from_yaml(p)
+        assert cfg.orb_nfeatures > 0 and cfg.lsd_nfeatures >= 0
+        fc = cfg.frontend()
+        assert fc.n_points > 0
+        cfg.tracker(), cfg.loop_cfg(), cfg.ba()
+    # spot-check a known value from config_euroc.yaml against the file
+    import yaml as _y
+
+    with open("/root/reference/config/config/config_euroc.yaml") as f:
+        raw = _y.safe_load(f)
+    cfg = PLSLAMConfig.from_yaml(
+        "/root/reference/config/config/config_euroc.yaml")
+    assert cfg.orb_nfeatures == raw["orb_nfeatures"]
+    assert cfg.min_ratio_12_p == raw["min_ratio_12_p"]
+
+
+def test_reference_euroc_camera_params_load():
+    """The reference's EuRoC camera YAML builds a camera + rectification
+    maps (pinholeStereoCamera.cpp:30-129 both calib forms)."""
+    from plslam_tpu.io.euroc import load_euroc_calib
+
+    calib = load_euroc_calib(
+        "/root/reference/config/dataset_params/euroc_params.yaml")
+    assert calib.cam.fx > 0 and calib.cam.b > 0
