@@ -136,4 +136,6 @@ def test_reference_euroc_camera_params_load():
 
     calib = load_euroc_calib(
         "/root/reference/config/dataset_params/euroc_params.yaml")
-    assert calib.cam.fx > 0 and calib.cam.b > 0
+    assert calib.fx > 0 and calib.baseline > 0
+    assert not calib.identity_maps          # EuRoC form builds remap grids
+    assert calib.map_l[0].shape == (calib.height, calib.width)
