@@ -70,6 +70,9 @@ def inv4x4(A: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+_UNROLL_N = 8   # unroll factorizations/substitutions up to this size
+
+
 def cholesky(A: jax.Array) -> jax.Array:
     """Lower-triangular Cholesky of one (n, n) SPD matrix via lax.scan over
     columns (no LAPACK).  Returns NaN columns on non-SPD input (caller
@@ -89,8 +92,15 @@ def cholesky(A: jax.Array) -> jax.Array:
         L = L.at[:, j].set(newcol)
         return L, None
 
-    L0 = jnp.zeros((n, n), dtype)
-    L, _ = jax.lax.scan(body, L0, jnp.arange(n))
+    L = jnp.zeros((n, n), dtype)
+    if n <= _UNROLL_N:
+        # unrolled: a 6x6 solve inside a GN scan body pays per-step loop
+        # overhead 3x (cholesky + 2 substitutions); static unrolling lets
+        # XLA fuse the whole factorization into the surrounding program
+        for j in range(n):
+            L, _ = body(L, j)
+        return L
+    L, _ = jax.lax.scan(body, L, jnp.arange(n))
     return L
 
 
@@ -103,8 +113,12 @@ def solve_triangular_lower(L: jax.Array, b: jax.Array) -> jax.Array:
         yi = (b[i] - s) / L[i, i]
         return y.at[i].set(yi), None
 
-    y0 = jnp.zeros_like(b)
-    y, _ = jax.lax.scan(body, y0, jnp.arange(n))
+    y = jnp.zeros_like(b)
+    if n <= _UNROLL_N:
+        for i in range(n):
+            y, _ = body(y, i)
+        return y
+    y, _ = jax.lax.scan(body, y, jnp.arange(n))
     return y
 
 
@@ -118,8 +132,12 @@ def solve_triangular_upper(U: jax.Array, b: jax.Array) -> jax.Array:
         xj = (b[j] - s) / U[j, j]
         return x.at[j].set(xj), None
 
-    x0 = jnp.zeros_like(b)
-    x, _ = jax.lax.scan(body, x0, jnp.arange(n))
+    x = jnp.zeros_like(b)
+    if n <= _UNROLL_N:
+        for i in range(n):
+            x, _ = body(x, i)
+        return x
+    x, _ = jax.lax.scan(body, x, jnp.arange(n))
     return x
 
 
