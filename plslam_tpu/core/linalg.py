@@ -70,7 +70,12 @@ def inv4x4(A: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-_UNROLL_N = 8   # unroll factorizations/substitutions up to this size
+# Unroll factorizations/substitutions up to this size: the 6x6 tracker
+# solve and the <=64-dim Schur reduced-camera solves sit inside scan
+# bodies where per-step loop overhead dominates (GN(15) 3.36 -> 2.24 ms,
+# BA 10 iters 24.8 -> 21.9 ms on the benched chip); larger solves (PGO,
+# multi-block reduced systems) stay lax.scan to bound compile time.
+_UNROLL_N = 64
 
 
 def cholesky(A: jax.Array) -> jax.Array:

@@ -50,11 +50,11 @@ class FrontendConfig(NamedTuple):
     # assignment of ops/lines.py)
     line_orient_bins: int = 16
     # Pallas FAST score kernel.  Outputs are bit-identical to the XLA
-    # formulation; with the per-cell-argmax selection the batched detect
-    # stage measures 4.2 ms (XLA) vs 4.4 ms (Pallas) under forced-sync
-    # timing on the real chip (block_until_ready is unreliable on this
-    # runtime — only scalar fetches force execution), so the kernel stays
-    # opt-in.  None = off.
+    # formulation, but the kernel boundary blocks fusing score+NMS into
+    # the per-cell-argmax selection: with the block-DMA patch path on,
+    # det_pts measures 3.15 ms (XLA score) vs 3.92 ms (Pallas score) under
+    # forced-sync timing on the real chip, so the kernel stays opt-in.
+    # None = off.
     use_pallas_fast: bool | None = None
     # Pallas block-DMA patch gather for the describe stages (ORB + LBD).
     # Bit-identical patches to the one-hot extraction; with the banded-MXU
