@@ -480,9 +480,16 @@ class LoopCloser:
         stats = {"ext_old": 0, "ext_new": 0, "created": 0, "fused": 0}
 
         def run(pairs, f_lm_old, f_lm_new, add_obs, merge, spawn, table,
-                lm_attr):
+                lm_attr, lm_valid):
             for i1, i2 in np.asarray(pairs, np.int64).reshape(-1, 2):
                 lm0, lm1 = int(f_lm_old[i1]), int(f_lm_new[i2])
+                # a feature may still back-link a CULLED landmark (culling
+                # clears validity, not per-KF lm links): treat it as
+                # unassociated so dead landmarks never gain observations
+                if lm0 >= 0 and not lm_valid[lm0]:
+                    lm0 = -1
+                if lm1 >= 0 and not lm_valid[lm1]:
+                    lm1 = -1
                 if lm0 < 0 and lm1 >= 0:
                     # extend the new-KF landmark back to the old KF
                     add_obs([lm1], cand_id, [i1])
@@ -519,7 +526,7 @@ class LoopCloser:
             return mp.merge_point_landmarks(lm0, lm1)
 
         run(pt_pairs, old.pt_lm, kf.pt_lm, mp.add_point_obs, merge_pt,
-            spawn_pt, mp.pobs, "pt_lm")
+            spawn_pt, mp.pobs, "pt_lm", mp.pt_valid)
 
         if ls_pairs is not None and len(ls_pairs):
             from .mapping import (_np_normalize_plucker,
@@ -543,7 +550,7 @@ class LoopCloser:
                 return mp.merge_line_landmarks(lm0, lm1)
 
             run(ls_pairs, old.ls_lm, kf.ls_lm, mp.add_line_obs, merge_ls,
-                spawn_ls, mp.lobs, "ls_lm")
+                spawn_ls, mp.lobs, "ls_lm", mp.ls_valid)
         return stats
 
 

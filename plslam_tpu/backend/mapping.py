@@ -361,7 +361,10 @@ class SlamMap:
         for lm, r in zip(lms.tolist(), rows.tolist()):
             self._pt_rows[lm].append(r)
         self._pt_last_kf[lms] = kf_id
-        self._pt_nobs[lms] += 1
+        # np.add.at: fancy-index += collapses duplicate landmark ids (a
+        # loop-closure merge can point two features of one KF at the same
+        # landmark), desyncing nobs from the live observation rows
+        np.add.at(self._pt_nobs, lms, 1)
 
     def add_line_obs(self, lms: np.ndarray, kf_id: int, fis: np.ndarray):
         lms = np.asarray(lms, np.int64)
@@ -375,7 +378,7 @@ class SlamMap:
         for lm, r in zip(lms.tolist(), rows.tolist()):
             self._ls_rows[lm].append(r)
         self._ls_last_kf[lms] = kf_id
-        self._ls_nobs[lms] += 1
+        np.add.at(self._ls_nobs, lms, 1)
 
     def _remove_obs_rows(self, table: _ObsTable, rows_of: list[list[int]],
                          nobs: np.ndarray, rows: np.ndarray):
@@ -801,12 +804,24 @@ class MapHandler:
         # initial KF features become the initial map)
         self._spawn_landmarks(kf)
 
+    def _trim_device_cache(self, keep_last: int = 2):
+        """Drop device-resident feature pytrees of old keyframes.
+
+        Association only ever reads the previous/current records'
+        dev_feats(); keeping every record's pytree alive pins
+        O(keyframes) HBM (hundreds of KB per KF — unbounded growth on
+        long runs).  dev_feats() rebuilds from the host copy on demand
+        (e.g. a loop-closure candidate), so dropping is safe."""
+        for rec in self.map.keyframes[:-keep_last]:
+            rec.dev = None
+
     def add_keyframe(self, pose: np.ndarray, feats: StereoFeatures,
                      run_ba: bool = True, defer_ba: bool = False):
         """Insert one keyframe.  ``pose`` is the front-end's (VO) pose;
         the map pose is CHAINED through the previous keyframe's optimized
         pose (T_curr_w = T_prev * T_rel, addKeyFrame :162) so BA and
         loop-closure corrections propagate to subsequent keyframes."""
+        self._trim_device_cache()
         if self.cfg.has_refinement:
             # refinement re-optimizes the pose BETWEEN the KF2KF and
             # Map2KF passes (:937-977), so the association cannot fuse
@@ -1533,17 +1548,22 @@ class MapHandler:
 
         cap_p, cap_l = cfg.ba_points, cfg.ba_lines
         if not cfg.plucker_lines:
-            cap_p_eff = cap_p - 2 * min(cap_l, max(len(ls_ids), 1))
-            cap_p_eff = max(cap_p_eff, cap_p // 2)
+            # endpoint mode appends two point slots per line into the
+            # (cap_p, 3) table, so a chunk must satisfy
+            # |points| + 2*|lines| <= cap_p — derive BOTH per-chunk caps
+            # from that invariant (clamping only the point cap could
+            # overflow the table when cap_l > cap_p/4)
+            cap_p_eff = max(cap_p - 2 * cap_l, cap_p // 2)
+            cap_l_eff = max(1, min(cap_l, (cap_p - cap_p_eff) // 2))
         else:
-            cap_p_eff = cap_p
+            cap_p_eff, cap_l_eff = cap_p, cap_l
         n_chunks = max(1,
                        -(-len(pt_ids) // cap_p_eff) if len(pt_ids) else 1,
-                       -(-len(ls_ids) // cap_l) if len(ls_ids) else 1)
+                       -(-len(ls_ids) // cap_l_eff) if len(ls_ids) else 1)
         probs, metas = [], []
         for c in range(n_chunks):
             pc = pt_ids[c * cap_p_eff: (c + 1) * cap_p_eff]
-            lc = ls_ids[c * cap_l: (c + 1) * cap_l]
+            lc = ls_ids[c * cap_l_eff: (c + 1) * cap_l_eff]
             prob, meta = self._assemble_problem(
                 local_ids, pc, lc, cap_p, cap_l,
                 cfg.ba_pobs, cfg.ba_lobs, fix_rule="kf0",

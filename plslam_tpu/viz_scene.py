@@ -63,7 +63,11 @@ def _scene_data(mapper, gt=None, max_points: int = 20000) -> dict:
         "cov_threshold": int(th),
     }
     if gt is not None:
-        data["gt"] = np.asarray(gt, np.float32)[:, :3].round(4).tolist()
+        g = np.asarray(gt, np.float32)
+        # accept either (N, 3+) positions or (N, 4, 4) pose stacks (what
+        # viz.render_run's callers pass; plot_trajectory does the same)
+        pos = g[:, :3, 3] if g.ndim == 3 else g[:, :3]
+        data["gt"] = pos.round(4).tolist()
     return data
 
 

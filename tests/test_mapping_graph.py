@@ -205,3 +205,20 @@ def test_gba_covers_whole_map_in_chunks():
     err_pre = np.linalg.norm(pre - truth, axis=1)
     err_post = np.linalg.norm(post - truth, axis=1)
     assert np.median(err_post) < 0.2 * np.median(err_pre)
+
+
+def test_endpoint_gba_chunk_caps_respect_point_table():
+    """Endpoint-mode GBA appends 2 point slots per line; chunk caps must
+    jointly satisfy |points| + 2*|lines| <= ba_points (review finding:
+    clamping only the point cap overflowed the table when
+    ba_lines > ba_points/4)."""
+    cam = make_camera()
+    world = World(n_pts=140, n_ls=70)
+    cfg = MapConfig(plucker_lines=False, ba_points=120, ba_lines=32,
+                    ba_pobs=4096, ba_lobs=1024)
+    mapper = MapHandler(cam, cfg)
+    poses = lateral_poses(4, 0.05)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
+    mapper.global_bundle_adjustment()     # IndexError before the fix

@@ -27,6 +27,12 @@ def test_scene_data_counts_and_geometry():
     mapper = _mapper()
     m = mapper.map
     data = _scene_data(mapper, gt=np.zeros((4, 3)))
+    # pose-stack ground truth (what viz.render_run's callers pass)
+    Ts = np.broadcast_to(np.eye(4), (4, 4, 4)).copy()
+    Ts[:, 0, 3] = np.arange(4)
+    d2 = _scene_data(mapper, gt=Ts)
+    assert np.asarray(d2["gt"]).shape == (4, 3)
+    assert [r[0] for r in d2["gt"]] == [0.0, 1.0, 2.0, 3.0]
     assert len(data["points"]) == int(np.sum(m.pt_valid))
     assert len(data["kf_T"]) == len(m.keyframes)
     assert len(data["lines"]) > 0 and len(data["lines"]) <= len(m.ls_valid)
