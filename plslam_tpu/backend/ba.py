@@ -187,12 +187,6 @@ def line_obs_residuals(prob: BAProblem, cam: StereoCamera):
     return e, J_pose, J_line
 
 
-def huber_weight(e: jax.Array, delta: float) -> jax.Array:
-    """IRLS weight of the Huber loss on the residual norm."""
-    r = jnp.linalg.norm(e, axis=-1)
-    return jnp.minimum(1.0, delta / jnp.maximum(r, 1e-12))
-
-
 def cauchy_weight(e: jax.Array) -> jax.Array:
     """IRLS weight of the unit-scale Cauchy loss on the residual norm —
     the reference's robustWeightCauchy (auxiliar.cpp:556), used by every
@@ -281,12 +275,6 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
         jnp.where(l_active, _rho(e_l, robust) * prob.l_sigma2, 0.0))
 
     return _Assembled(Hcc, bc, Hpp, bp, Wp, Hll, bl, Wl, cost)
-
-
-def huber_cost(e: jax.Array, delta: float) -> jax.Array:
-    r2 = jnp.sum(e * e, axis=-1)
-    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-    return jnp.where(r <= delta, r2, 2.0 * delta * r - delta * delta)
 
 
 def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):

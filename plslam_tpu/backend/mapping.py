@@ -550,6 +550,21 @@ def _np_hamming(descs: np.ndarray) -> np.ndarray:
     return (bits[:, None, :] != bits[None, :, :]).sum(-1)
 
 
+
+def _locked(fn):
+    """Run a MapHandler method under its reentrant host-map lock: the
+    mapping worker thread and outside callers (flush_ba write-back,
+    trajectory reads, GBA, culling) must not mutate the obs tables
+    concurrently; _ba_lock only guards the pending-handoff swap."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *a, **k):
+        with self._map_lock:
+            return fn(self, *a, **k)
+    return inner
+
+
 class MapHandler:
     """Host orchestrator of keyframe insertion and local BA."""
 
@@ -574,6 +589,12 @@ class MapHandler:
 
         self._ba_pending = None       # (device out, layout, meta)
         self._ba_lock = threading.Lock()
+        # Serializes HOST map mutation/read between the mapping worker
+        # thread and outside callers (flush_ba write-back vs an in-flight
+        # keyframe insertion would otherwise tear the obs tables —
+        # _ba_lock only guards the pending-handoff swap).  Reentrant:
+        # add_keyframe internally calls flush_ba.
+        self._map_lock = threading.RLock()
 
         # Fused association programs: each remote dispatch/fetch costs
         # ~10-30 ms here, so KF2KF and Map2KF run as ONE program + ONE
@@ -795,6 +816,7 @@ class MapHandler:
 
     # -- public API (mapHandler.cpp initialize :50 / addKeyFrame :121) ----
 
+    @_locked
     def initialize(self, pose: np.ndarray, feats: StereoFeatures):
         kf = KeyframeRecord(0, pose, feats)
         kf.T_vo = kf.T_w_k.copy()
@@ -815,6 +837,7 @@ class MapHandler:
         for rec in self.map.keyframes[:-keep_last]:
             rec.dev = None
 
+    @_locked
     def add_keyframe(self, pose: np.ndarray, feats: StereoFeatures,
                      run_ba: bool = True, defer_ba: bool = False):
         """Insert one keyframe.  ``pose`` is the front-end's (VO) pose;
@@ -1403,17 +1426,17 @@ class MapHandler:
                     plucker=cfg.plucker_lines, ep_base=ep_base)
         return prob, meta
 
-    def _ba_landmark_ids(self, slotmask: np.ndarray):
-        """Landmarks with >= 2 observations among the selected KFs."""
+    def _ba_landmark_ids(self, slotmask: np.ndarray, min_obs: int = 2):
+        """Landmarks with >= min_obs observations among the selected KFs."""
         mp = self.map
         tb = mp.pobs
         sel = tb.valid[: tb.n] & slotmask[tb.kf[: tb.n]]
         cnt = np.bincount(tb.lm[: tb.n][sel], minlength=mp.n_pt)
-        pt_ids = np.where(mp.pt_valid & (cnt >= 2))[0]
+        pt_ids = np.where(mp.pt_valid & (cnt >= min_obs))[0]
         tb = mp.lobs
         sel = tb.valid[: tb.n] & slotmask[tb.kf[: tb.n]]
         cnt = np.bincount(tb.lm[: tb.n][sel], minlength=mp.n_ls)
-        ls_ids = np.where(mp.ls_valid & (cnt >= 2))[0]
+        ls_ids = np.where(mp.ls_valid & (cnt >= min_obs))[0]
         if not self.cfg.use_lines:
             ls_ids = ls_ids[:0]
         return pt_ids, ls_ids
@@ -1474,6 +1497,7 @@ class MapHandler:
         return int((table.valid[: table.n] & slotmask[table.kf[: table.n]]
                     & sel[table.lm[: table.n]]).sum())
 
+    @_locked
     def local_bundle_adjustment(self, defer: bool = False):
         """Run the two-round chi^2-gated BA and write back
         (:6119-6319).  Problem transport is packed: 3 uploads + 1 fetch
@@ -1510,6 +1534,7 @@ class MapHandler:
                                    p_active, l_active, meta)
         return LocalBAResult(T, points, p_active, l_active, cost)
 
+    @_locked
     def flush_ba(self):
         """Apply a deferred local-BA result, if one is in flight."""
         with self._ba_lock:
@@ -1531,6 +1556,7 @@ class MapHandler:
             return np.asarray(buf)
         return np.asarray(jax.device_get(out))
 
+    @_locked
     def global_bundle_adjustment(self):
         """GBA over ALL keyframes and ALL landmarks, tiled over fixed-shape
         landmark chunks so nothing is silently truncated
@@ -1620,6 +1646,19 @@ class MapHandler:
                         jnp.asarray(lines[:nls]))
                     ) * np.asarray(scale[:nls])[:, None]
                     mp.ls_w[ls_ids] = _np_normalize_plucker(Lws)
+                # snap the stored world endpoints onto the optimized line:
+                # Map2KF association gates on projected ls_epw (the
+                # reference projects its endpoint lists, :799-921), so
+                # stale creation-time endpoints would diverge from the
+                # BA-optimized landmark and starve line re-observations
+                Lw = mp.ls_w[ls_ids]
+                nvec, d = Lw[:, :3], Lw[:, 3:]
+                p0 = np.cross(d, nvec)       # closest line point to origin
+                ep = mp.ls_epw[ls_ids]       # (n, 2, 3)
+                t = np.einsum("nkj,nj->nk", ep - p0[:, None], d)
+                snapped = p0[:, None] + t[..., None] * d[:, None]
+                ok = np.isfinite(snapped).all(axis=(1, 2))
+                mp.ls_epw[ls_ids[ok]] = snapped[ok]
         elif len(ls_ids):
             # endpoint mode: optimized endpoints come back through the
             # point table; refresh the Pluecker form (n = sP x eP,
@@ -1673,6 +1712,7 @@ class MapHandler:
 
     # -- culling -----------------------------------------------------------
 
+    @_locked
     def cull_landmarks(self):
         """removeBadMapLandmarks (:3732): kill non-local landmarks older
         than cull_age KFs with fewer than min_lm_obs observations."""
@@ -1704,6 +1744,7 @@ class MapHandler:
             D = _np_hamming(descs)
             mp.ls_desc[lm] = descs[int(D.sum(1).argmin())]
 
+    @_locked
     def cull_redundant_keyframes(self, max_common: float = 0.9):
         """removeRedundantKFs (:3899-4047): deactivate keyframes whose
         tracked landmarks are >= max_common shared with other keyframes;
@@ -1736,6 +1777,7 @@ class MapHandler:
 
     # -- trajectory export -------------------------------------------------
 
+    @_locked
     def keyframe_trajectory(self, include_inactive: bool = True):
         self.flush_ba()
         return [kf.T_w_k for kf in self.map.keyframes

@@ -29,8 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import logging
+
 from ..backend import ba as ba_mod
 from ..core.camera import StereoCamera
+
+log = logging.getLogger("plslam_tpu.dist_gba")
 
 AXIS = "kf"
 
@@ -72,17 +76,57 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
     g_of_pt[pt_ids] = np.arange(len(pt_ids))
     g_of_ls = np.full(mp.n_ls, -1, np.int64)
     g_of_ls[ls_ids] = np.arange(len(ls_ids))
-    pt_owner = block_of_kf[mp.pt_first_kf[pt_ids]]
-    ls_owner = block_of_kf[mp.ls_first_kf[ls_ids]]
+
+    # per-(landmark, block) observation counts decide OWNERSHIP: the
+    # block with the most observations optimizes the landmark, and only
+    # if it holds >=2 there (a single in-block observation cannot
+    # constrain depth; such straddling landmarks stay consensus-pinned
+    # anchors in every block that sees them, and are counted below —
+    # never silently dropped)
+    def blk_counts(tb, n_lm):
+        sel = tb.valid[: tb.n] & allmask[tb.kf[: tb.n]]
+        cnt = np.zeros((n_lm, n_blocks), np.int64)
+        np.add.at(cnt, (tb.lm[: tb.n][sel],
+                        block_of_kf[tb.kf[: tb.n][sel]]), 1)
+        return cnt
+
+    cnt_pt = blk_counts(mp.pobs, mp.n_pt)[pt_ids]
+    cnt_ls = blk_counts(mp.lobs, mp.n_ls)[ls_ids]
+    pt_owner = (cnt_pt.argmax(axis=1) if len(pt_ids)
+                else np.zeros(0, np.int64))
+    ls_owner = (cnt_ls.argmax(axis=1) if len(ls_ids)
+                else np.zeros(0, np.int64))
+    pt_ownable = cnt_pt.max(axis=1) >= 2 if len(pt_ids) else pt_owner > 0
+    ls_ownable = cnt_ls.max(axis=1) >= 2 if len(ls_ids) else ls_owner > 0
+    n_pin_pt = int((~pt_ownable).sum()) if len(pt_ids) else 0
+    n_pin_ls = int((~ls_ownable).sum()) if len(ls_ids) else 0
+    if n_pin_pt or n_pin_ls:
+        log.info("kf-block GBA: %d point / %d line landmarks straddle "
+                 "blocks with <2 obs in any single block — kept as pinned "
+                 "anchors, not optimized", n_pin_pt, n_pin_ls)
 
     cap_k = max(len(ids) for ids in blocks)
     probs, gids_p, owns_p, gids_l, owns_l = [], [], [], [], []
     for b, ids in enumerate(blocks):
         slotmask = np.zeros(len(mp.keyframes), bool)
         slotmask[ids] = True
-        b_pt, b_ls = mapper._ba_landmark_ids(slotmask)
-        b_pt = b_pt[g_of_pt[b_pt] >= 0][: cfg.ba_points]
-        b_ls = b_ls[g_of_ls[b_ls] >= 0][: cfg.ba_lines]
+        # min_obs=1: single-observation anchors still constrain this
+        # block's poses through the consensus-pinned landmark state
+        b_pt, b_ls = mapper._ba_landmark_ids(slotmask, min_obs=1)
+        b_pt = b_pt[g_of_pt[b_pt] >= 0]
+        b_ls = b_ls[g_of_ls[b_ls] >= 0]
+        # capacity: owned landmarks first, then anchors; log any drop
+        o_p = pt_ownable[g_of_pt[b_pt]] & (pt_owner[g_of_pt[b_pt]] == b)
+        o_l = ls_ownable[g_of_ls[b_ls]] & (ls_owner[g_of_ls[b_ls]] == b)
+        b_pt = np.concatenate([b_pt[o_p], b_pt[~o_p]])
+        b_ls = np.concatenate([b_ls[o_l], b_ls[~o_l]])
+        if len(b_pt) > cfg.ba_points or len(b_ls) > cfg.ba_lines:
+            log.warning(
+                "kf-block GBA block %d over capacity: %d/%d points, "
+                "%d/%d lines — dropping trailing anchors", b,
+                len(b_pt), cfg.ba_points, len(b_ls), cfg.ba_lines)
+        b_pt = b_pt[: cfg.ba_points]
+        b_ls = b_ls[: cfg.ba_lines]
         prob, meta = mapper._assemble_problem(
             list(ids), b_pt, b_ls, cfg.ba_points, cfg.ba_lines,
             cfg.ba_pobs, cfg.ba_lobs, fix_rule="local", cap_k=cap_k)
@@ -90,9 +134,11 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         # constrain this block's poses (Hcc terms) but the landmark state
         # is pinned to the consensus table
         own_p = np.zeros(cfg.ba_points, bool)
-        own_p[: len(b_pt)] = pt_owner[g_of_pt[b_pt]] == b
+        own_p[: len(b_pt)] = (pt_ownable[g_of_pt[b_pt]]
+                              & (pt_owner[g_of_pt[b_pt]] == b))
         own_l = np.zeros(cfg.ba_lines, bool)
-        own_l[: len(b_ls)] = ls_owner[g_of_ls[b_ls]] == b
+        own_l[: len(b_ls)] = (ls_ownable[g_of_ls[b_ls]]
+                              & (ls_owner[g_of_ls[b_ls]] == b))
         prob = prob._replace(
             point_valid=np.asarray(prob.point_valid) & own_p,
             line_valid=np.asarray(prob.line_valid) & own_l)

@@ -54,3 +54,21 @@ def test_kf_block_gba_reduces_error():
     assert (np.linalg.norm(post_pose - gt, axis=1).mean()
             < np.linalg.norm(pre_pose - gt, axis=1).mean())
     assert np.isfinite(post_pose).all()
+
+
+def test_partition_ownership_is_exclusive_and_anchors_kept():
+    """Every global landmark is owned by at most one block (the block
+    with the most observations, and only with >=2 there); landmarks a
+    block merely sees stay listed as consensus anchors."""
+    mapper, world, poses = _build()
+    blk = dist_gba.partition_map(mapper, 2)
+    owned = [set(blk.pt_gid[b][blk.own_pt[b]].tolist()) for b in range(2)]
+    assert not (owned[0] & owned[1])
+    n_owned = sum(len(o) for o in owned)
+    assert 0 < n_owned <= len(blk.pt_ids_glob)
+    listed = set()
+    for b in range(2):
+        valid = np.asarray(blk.prob.point_valid[b]) | blk.own_pt[b]
+        listed |= set(blk.pt_gid[b][blk.pt_gid[b] >= 0].tolist())
+    # every global slot appears in at least one block's problem
+    assert listed >= set(range(len(blk.pt_ids_glob)))

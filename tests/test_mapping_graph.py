@@ -222,3 +222,24 @@ def test_endpoint_gba_chunk_caps_respect_point_table():
     for T in poses[1:]:
         mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
     mapper.global_bundle_adjustment()     # IndexError before the fix
+
+
+def test_plucker_ba_keeps_epw_on_optimized_line():
+    """Pluecker-mode BA write-back must keep the stored world endpoints on
+    the optimized line: Map2KF association gates on projected ls_epw, and
+    stale creation-time endpoints would starve line re-observations
+    (review finding r2)."""
+    mapper, _, _ = _build_mapper(run_ba=True)
+    mp = mapper.map
+    mapper.flush_ba()
+    ids = np.nonzero(mp.ls_valid)[0]
+    assert len(ids)
+    Lw = mp.ls_w[ids]
+    n, d = Lw[:, :3], Lw[:, 3:]
+    dn = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / dn
+    nn = n / dn
+    for k in range(2):
+        x = mp.ls_epw[ids][:, k]
+        dist = np.linalg.norm(np.cross(x, d) - nn, axis=-1)
+        assert dist.max() < 1e-6, dist.max()
