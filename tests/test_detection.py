@@ -120,6 +120,32 @@ def test_line_detector_recovers_segments():
         assert best_cover > 0.5, ((x0, y0, x1, y1), best_cover)
 
 
+def test_merge_components_path_graph_worst_case():
+    # A chain of N collinear cell-segments where only CONSECUTIVE pairs are
+    # mergeable (gap 3 px <= gap_merge, but 13 px between i and i+2) — a
+    # path graph, the worst case for the label-propagation component
+    # labeling that replaced the boolean-matmul closure.  All N must
+    # collapse into ONE segment spanning the full extent.
+    cfg = lines.LineDetectorConfig(max_out=8)
+    N = 64
+    xs = 10.0 * np.arange(N)
+    sp = np.stack([xs, np.zeros(N)], axis=-1)
+    ep = np.stack([xs + 7.0, np.zeros(N)], axis=-1)
+    d = np.tile(np.array([[1.0, 0.0]]), (N, 1))
+    mass = np.ones(N)
+    out = jax.jit(lambda a, b, c, m, v: lines._merge_components(
+        a, b, c, m, v, cfg))(
+        jnp.asarray(sp, jnp.float32), jnp.asarray(ep, jnp.float32),
+        jnp.asarray(d, jnp.float32), jnp.asarray(mass, jnp.float32),
+        jnp.ones(N, bool))
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 1
+    s, e = np.asarray(out.sp)[valid][0], np.asarray(out.ep)[valid][0]
+    lo, hi = min(s[0], e[0]), max(s[0], e[0])
+    assert lo < 1.0 and hi > 10.0 * (N - 1) + 6.0
+    np.testing.assert_allclose([s[1], e[1]], 0.0, atol=1e-3)
+
+
 def test_lbd_descriptors_match_across_shift():
     """Describe the same physical segments in two shifted renders: the
     corresponding descriptor must be the Hamming nearest neighbor.  (Uses
