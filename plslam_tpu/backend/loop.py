@@ -57,7 +57,15 @@ class LoopConfig:
     pgo_graph: str = "covisibility"  # or "essential" (:5070 vs :5301)
     min_lm_ess_graph: int = 150      # essential-graph edge threshold
     pgo_iters: int = 15
-    fuse_dist: float = 0.1      # max_point_point_error
+    # 3D fusion gates on loopClosureFuseLandmarks.  The reference parses
+    # these (slamConfig.cpp:54,:129-131, "maximum distance to fuse
+    # landmarks") but its fuse loop never reads them — here every fusion
+    # case is actually gated, so a descriptor-aliased match at a loop
+    # event cannot weld two distinct landmarks.
+    fuse_dist: float = 0.1      # max_point_point_error (m)
+    fuse_dist_pl: float = 0.1   # max_point_line_error: midpoint-to-line (m)
+    fuse_dist_dir: float = 0.1  # max_dir_line_error: sin(angle of dirs)
+    lc_kf_max_dist: int = 50    # temporal support window radius (:4286)
 
 
 def build_pgo_edges(covis: np.ndarray, T_old: np.ndarray, covis_th: int,
@@ -280,8 +288,10 @@ class LoopCloser:
             min_cov = float(self.conf[kf_id, cov_ids].min())
             if best_score <= min_cov:
                 return None
-        # temporal support (:4283-4297)
-        near = scores[max(0, best - 5): best + 6]
+        # temporal support (:4283-4297): candidates within lc_kf_max_dist
+        # of the best one scoring >= support_ratio * best (:4286)
+        w = max(cfg.lc_kf_max_dist, 1)
+        near = scores[max(0, best - w): best + w + 1]
         support = int((near >= cfg.lc_support_ratio * best_score).sum())
         if support < min(cfg.lc_nkf_closest, len(near)):
             return None
@@ -332,16 +342,20 @@ class LoopCloser:
                             valid=jnp.asarray(valid),
                             inlier=jnp.asarray(valid))
         ls, ls_pairs = self._match_lines_for_verification(old, kf)
-        if ls is not None:
-            # line-modality inlier-ratio + min-count gates (:4386-4402 and
-            # SlamConfig::minLineMatches)
+        if self.mapper.cfg.use_lines:
+            # line-modality inlier-ratio + min-count gates: with both
+            # modalities enabled the reference requires BOTH ratios to
+            # pass (:4388-4392) — a candidate whose lines don't re-match
+            # is rejected outright, not demoted to points-only
+            n_ls = len(ls_pairs) if ls_pairs is not None else 0
             n0 = max(int(old.ls_valid.sum()), 1)
             n1 = max(int(kf.ls_valid.sum()), 1)
-            ratio_ls = max(100.0 * len(ls_pairs) / n0,
-                           100.0 * len(ls_pairs) / n1)
+            ratio_ls = max(100.0 * n_ls / n0, 100.0 * n_ls / n1)
             if (ratio_ls <= self.cfg.lc_inlier_ratio
-                    or len(ls_pairs) < self.cfg.min_ls_matches):
-                ls, ls_pairs = None, None
+                    or n_ls < self.cfg.min_ls_matches):
+                return fail
+        elif ls is not None:
+            ls, ls_pairs = None, None
         cfgT = trk.TrackerConfig(use_lines=ls is not None,
                                  plucker_lines=False)
         if ls is None:
@@ -473,14 +487,25 @@ class LoopCloser:
         KF's survives), with full covisibility bookkeeping throughout.
         The reference's case-1 graph increment uses kf_curr for a kf_prev
         observation (:5560-5565) — an upstream slip; here the covis bump
-        always credits the KF that actually gains the observation."""
+        always credits the KF that actually gains the observation.
+
+        Every case is gated by 3D world-frame distance (the declared
+        intent of max_point_point_error / max_point_line_error /
+        max_dir_line_error, slamConfig.cpp:54): after the PGO correction
+        two views of the SAME landmark must coincide geometrically, so a
+        descriptor-aliased pair that fails the gate is skipped rather
+        than welded."""
         mp = self.mapper.map
         kf = mp.keyframes[kf_id]
         old = mp.keyframes[cand_id]
-        stats = {"ext_old": 0, "ext_new": 0, "created": 0, "fused": 0}
+        cfg = self.cfg
+        stats = {"ext_old": 0, "ext_new": 0, "created": 0, "fused": 0,
+                 "gated": 0}
+        Ro, to = old.T_w_k[:3, :3], old.T_w_k[:3, 3]
+        Rn, tn = kf.T_w_k[:3, :3], kf.T_w_k[:3, 3]
 
         def run(pairs, f_lm_old, f_lm_new, add_obs, merge, spawn, table,
-                lm_attr, lm_valid):
+                lm_attr, lm_valid, ent_old, ent_new, ent_lm, gate):
             for i1, i2 in np.asarray(pairs, np.int64).reshape(-1, 2):
                 lm0, lm1 = int(f_lm_old[i1]), int(f_lm_new[i2])
                 # a feature may still back-link a CULLED landmark (culling
@@ -491,18 +516,30 @@ class LoopCloser:
                 if lm1 >= 0 and not lm_valid[lm1]:
                     lm1 = -1
                 if lm0 < 0 and lm1 >= 0:
+                    if not gate(ent_old(i1), ent_lm(lm1)):
+                        stats["gated"] += 1
+                        continue
                     # extend the new-KF landmark back to the old KF
                     add_obs([lm1], cand_id, [i1])
                     f_lm_old[i1] = lm1
                     stats["ext_old"] += 1
                 elif lm0 >= 0 and lm1 < 0:
+                    if not gate(ent_lm(lm0), ent_new(i2)):
+                        stats["gated"] += 1
+                        continue
                     add_obs([lm0], kf_id, [i2])
                     f_lm_new[i2] = lm0
                     stats["ext_new"] += 1
                 elif lm0 < 0 and lm1 < 0:
+                    if not gate(ent_old(i1), ent_new(i2)):
+                        stats["gated"] += 1
+                        continue
                     spawn(i1, i2)
                     stats["created"] += 1
                 elif lm0 != lm1:
+                    if not gate(ent_lm(lm0), ent_lm(lm1)):
+                        stats["gated"] += 1
+                        continue
                     moved = merge(lm0, lm1)
                     # re-point every feature that referenced the fused-away
                     # landmark (the stereo_pt idx rewrite :5645)
@@ -510,6 +547,22 @@ class LoopCloser:
                         kfi, fi = int(table.kf[r]), int(table.fi[r])
                         getattr(mp.keyframes[kfi], lm_attr)[fi] = lm0
                     stats["fused"] += 1
+
+        def pt_gate(a, b):
+            return float(np.linalg.norm(a - b)) <= cfg.fuse_dist
+
+        def _line_ent(s, e):
+            d = e - s
+            return 0.5 * (s + e), d / max(float(np.linalg.norm(d)), 1e-12)
+
+        def ls_gate(a, b):
+            (ma, da), (mb, db) = a, b
+            # midpoint-to-infinite-line distance both ways + direction
+            # angle (|cross| of unit dirs = sin theta)
+            d_pl = max(float(np.linalg.norm(np.cross(ma - mb, db))),
+                       float(np.linalg.norm(np.cross(mb - ma, da))))
+            d_dir = float(np.linalg.norm(np.cross(da, db)))
+            return d_pl <= cfg.fuse_dist_pl and d_dir <= cfg.fuse_dist_dir
 
         def spawn_pt(i1, i2):
             R, t = old.T_w_k[:3, :3], old.T_w_k[:3, 3]
@@ -526,7 +579,10 @@ class LoopCloser:
             return mp.merge_point_landmarks(lm0, lm1)
 
         run(pt_pairs, old.pt_lm, kf.pt_lm, mp.add_point_obs, merge_pt,
-            spawn_pt, mp.pobs, "pt_lm", mp.pt_valid)
+            spawn_pt, mp.pobs, "pt_lm", mp.pt_valid,
+            ent_old=lambda i1: Ro @ old.pt_P[i1] + to,
+            ent_new=lambda i2: Rn @ kf.pt_P[i2] + tn,
+            ent_lm=lambda lm: mp.pt_w[lm], gate=pt_gate)
 
         if ls_pairs is not None and len(ls_pairs):
             from .mapping import (_np_normalize_plucker,
@@ -550,7 +606,14 @@ class LoopCloser:
                 return mp.merge_line_landmarks(lm0, lm1)
 
             run(ls_pairs, old.ls_lm, kf.ls_lm, mp.add_line_obs, merge_ls,
-                spawn_ls, mp.lobs, "ls_lm", mp.ls_valid)
+                spawn_ls, mp.lobs, "ls_lm", mp.ls_valid,
+                ent_old=lambda i1: _line_ent(Ro @ old.ls_sP[i1] + to,
+                                             Ro @ old.ls_eP[i1] + to),
+                ent_new=lambda i2: _line_ent(Rn @ kf.ls_sP[i2] + tn,
+                                             Rn @ kf.ls_eP[i2] + tn),
+                ent_lm=lambda lm: _line_ent(mp.ls_epw[lm, 0],
+                                            mp.ls_epw[lm, 1]),
+                gate=ls_gate)
         return stats
 
 

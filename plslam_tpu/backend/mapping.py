@@ -75,6 +75,13 @@ class MapConfig:
     min_pt_matches: int = 10      # windowed->global fallback gate :277-281
     min_ls_matches: int = 6       # SlamConfig::minLineMatches (:875-878)
     has_refinement: bool = False  # SlamConfig::hasRefinement :937-977
+    kf_inlier_ratio: float = 30.0  # refined-pose acceptance gate :952-958
+    min_features: int = 10        # refined-pose min inliers :967
+    # re-elect landmark descriptors every N KFs (0 = never).  The
+    # reference re-elects per landmark on every observation change
+    # (updateAverageDescDir, mapFeatures.cpp:52-140); the batched
+    # equivalent re-elects ALL landmarks periodically.
+    desc_refresh_kfs: int = 8
     cull_kf_every: int = 0        # run removeRedundantKFs every N KFs
     max_common_fts_kf: float = 0.9  # :3899 shared-landmark ratio
     local_ba_kf: int = 16         # padded local-KF capacity for the BA
@@ -867,6 +874,11 @@ class MapHandler:
         if run_ba:
             self.local_bundle_adjustment(defer=defer_ba)
         self.cull_landmarks()
+        if (self.cfg.desc_refresh_kfs > 0 and kf.id > 0
+                and kf.id % self.cfg.desc_refresh_kfs == 0):
+            # periodic batched re-election so representative descriptors
+            # track viewpoint drift (updateAverageDescDir semantics)
+            self.refresh_landmark_descriptors()
         if (self.cfg.cull_kf_every > 0
                 and kf.id % self.cfg.cull_kf_every == 0):
             self.flush_ba()
@@ -1059,16 +1071,18 @@ class MapHandler:
                 lambda p, l, cam: optimize_pose(p, l, cam, tcfg))
 
         # correspondences: the landmark links just made by _match_kf2kf
-        # (prev feature i1 and kf feature i2 share kf.pt_lm/ls_lm)
+        # (prev feature i1 and kf feature i2 share kf.pt_lm/ls_lm) —
+        # joined through a landmark->new-feature inverse table, no
+        # per-feature Python loops
+        mp = self.map
         n = len(prev.pt_valid)
         obs = np.zeros((n, 2), np.float32)
-        val = np.zeros(n, bool)
-        lm_to_new = {lm: i2 for i2, lm in enumerate(kf.pt_lm) if lm >= 0}
-        for i1 in range(n):
-            lm = prev.pt_lm[i1]
-            if lm >= 0 and lm in lm_to_new:
-                obs[i1] = kf.pt_uv[lm_to_new[lm]]
-                val[i1] = True
+        inv = np.full(max(mp.n_pt, 1), -1, np.int64)
+        w2 = kf.pt_lm >= 0
+        inv[kf.pt_lm[w2]] = np.where(w2)[0]
+        lm1 = prev.pt_lm
+        val = (lm1 >= 0) & (inv[np.maximum(lm1, 0)] >= 0)
+        obs[val] = kf.pt_uv[inv[lm1[val]]]
         pts = TrackedPoints(
             P=jnp.asarray(prev.pt_P), obs=jnp.asarray(obs),
             sigma2=jnp.asarray(prev.pt_sigma2),
@@ -1078,19 +1092,22 @@ class MapHandler:
         sobs = np.zeros((nl, 2), np.float32)
         eobs = np.zeros((nl, 2), np.float32)
         le = np.zeros((nl, 3), np.float32)
+        inv_l = np.full(max(mp.n_ls, 1), -1, np.int64)
+        w2 = kf.ls_lm >= 0
+        inv_l[kf.ls_lm[w2]] = np.where(w2)[0]
+        lm1 = prev.ls_lm
+        lval = (lm1 >= 0) & (inv_l[np.maximum(lm1, 0)] >= 0)
+        i2s = inv_l[lm1[lval]]
+        sp, ep = kf.ls_sp[i2s], kf.ls_ep[i2s]
+        lo = np.cross(np.concatenate([sp, np.ones((len(sp), 1))], 1),
+                      np.concatenate([ep, np.ones((len(ep), 1))], 1))
+        nrm = np.hypot(lo[:, 0], lo[:, 1])
+        ok = nrm > 1e-9
+        idx1 = np.where(lval)[0][ok]
+        sobs[idx1], eobs[idx1] = sp[ok], ep[ok]
+        le[idx1] = lo[ok] / nrm[ok, None]
         lval = np.zeros(nl, bool)
-        lm_to_new_l = {lm: i2 for i2, lm in enumerate(kf.ls_lm) if lm >= 0}
-        for i1 in range(nl):
-            lm = prev.ls_lm[i1]
-            if lm >= 0 and lm in lm_to_new_l:
-                i2 = lm_to_new_l[lm]
-                sp, ep = kf.ls_sp[i2], kf.ls_ep[i2]
-                lo = np.cross(np.append(sp, 1.0), np.append(ep, 1.0))
-                nrm = np.hypot(lo[0], lo[1])
-                if nrm < 1e-9:
-                    continue
-                sobs[i1], eobs[i1], le[i1] = sp, ep, lo / nrm
-                lval[i1] = True
+        lval[idx1] = True
         ls = TrackedLines(
             sP=jnp.asarray(prev.ls_sP), eP=jnp.asarray(prev.ls_eP),
             sp=jnp.asarray(prev.ls_sp), ep=jnp.asarray(prev.ls_ep),
@@ -1099,8 +1116,19 @@ class MapHandler:
             sigma2=jnp.asarray(prev.ls_sigma2),
             valid=jnp.asarray(lval), inlier=jnp.asarray(lval))
 
-        est, _, _ = self._refine_jit(pts, ls, self.cam)
-        if bool(est.good):
+        est, pts_out, ls_out = self._refine_jit(pts, ls, self.cam)
+        # acceptance (:952-967): per-modality inlier ratio must reach
+        # kf_inlier_ratio and total inliers must exceed min_features,
+        # else the KF keeps the chained VO pose
+        inl_pt = int(np.asarray(pts_out.inlier).sum())
+        inl_ls = int(np.asarray(ls_out.inlier).sum())
+        r_pt = 100.0 * inl_pt / max(int(val.sum()), 1)
+        r_ls = 100.0 * inl_ls / max(int(lval.sum()), 1)
+        cond = r_pt >= self.cfg.kf_inlier_ratio
+        if self.cfg.use_lines and lval.any():
+            cond = cond and r_ls >= self.cfg.kf_inlier_ratio
+        if (bool(est.good) and cond
+                and inl_pt + inl_ls > self.cfg.min_features):
             DT = np.asarray(est.DT, np.float64)  # new-cam <- prev-cam
             kf.T_w_k = prev.T_w_k @ np.linalg.inv(DT)
 
@@ -1725,24 +1753,41 @@ class MapHandler:
                 & (mp.ls_nobs < self.cfg.min_lm_obs))
         mp.ls_valid[dead] = False
 
-    def refresh_landmark_descriptors(self):
+    def refresh_landmark_descriptors(self, max_obs: int = 24):
         """Median-descriptor election (mapFeatures.cpp
         updateAverageDescDir :52-140): each landmark's representative
         descriptor becomes the observation descriptor with minimal summed
-        Hamming distance to the others."""
+        Hamming distance to the others.  Fully batched: one gather over
+        the stacked per-KF descriptor tables + one padded pairwise
+        popcount per modality, no per-landmark Python loops.  Election
+        considers the newest ``max_obs`` observations per landmark (long
+        tracks saturate well before that)."""
         mp = self.map
-        for lm in np.where(mp.pt_valid & (mp.pt_nobs >= 3))[0]:
-            kfs, fis = mp.point_obs(lm)
-            descs = np.stack([mp.keyframes[k].pt_desc[f]
-                              for k, f in zip(kfs, fis)])
-            D = _np_hamming(descs)
-            mp.pt_desc[lm] = descs[int(D.sum(1).argmin())]
-        for lm in np.where(mp.ls_valid & (mp.ls_nobs >= 3))[0]:
-            kfs, fis = mp.line_obs(lm)
-            descs = np.stack([mp.keyframes[k].ls_desc[f]
-                              for k, f in zip(kfs, fis)])
-            D = _np_hamming(descs)
-            mp.ls_desc[lm] = descs[int(D.sum(1).argmin())]
+        for table, rows_of, valid, nobs, lm_desc, attr in (
+                (mp.pobs, mp._pt_rows, mp.pt_valid, mp.pt_nobs,
+                 mp.pt_desc, "pt_desc"),
+                (mp.lobs, mp._ls_rows, mp.ls_valid, mp.ls_nobs,
+                 mp.ls_desc, "ls_desc")):
+            lms = np.where(valid & (nobs >= 3))[0]
+            if not len(lms):
+                continue
+            kf_desc = np.stack([getattr(kf, attr)
+                                for kf in mp.keyframes])  # (K, N, 8)
+            L = len(lms)
+            M = min(max_obs, int(nobs[lms].max()))
+            rows = np.zeros((L, M), np.int64)
+            cnt = np.zeros(L, np.int64)
+            for i, lm in enumerate(lms.tolist()):
+                r = rows_of[lm][-M:]
+                cnt[i] = len(r)
+                rows[i, :len(r)] = r
+            descs = kf_desc[table.kf[rows], table.fi[rows]]  # (L, M, 8)
+            x = np.bitwise_xor(descs[:, :, None], descs[:, None, :])
+            D = np.bitwise_count(x).sum(-1).astype(np.int32)  # (L, M, M)
+            pad = np.arange(M)[None] >= cnt[:, None]          # (L, M)
+            D[pad[:, :, None] | pad[:, None, :]] = 0
+            best = (D.sum(-1) + np.where(pad, 1 << 20, 0)).argmin(-1)
+            lm_desc[lms] = descs[np.arange(L), best]
 
     @_locked
     def cull_redundant_keyframes(self, max_common: float = 0.9):

@@ -64,11 +64,18 @@ class PLSLAMConfig:
     min_error: float = 1e-7
     min_error_change: float = 1e-7
     inlier_k: float = 4.0
-    # matching (:90-92)
+    # matching (:90-92).  matching_strategy (0 = pure descriptor, 1 =
+    # window + descriptor) is parsed by the reference (config.cpp:90,:184)
+    # but never read by any of its code paths — dead upstream, parsed here
+    # for YAML compatibility only.  This build always uses windowed +
+    # descriptor matching with a global fallback (ops/matching.py).
     matching_strategy: int = 0
     matching_s_ws: int = 10
     matching_f2f_ws: int = 3
-    # ORB (:95-102)
+    # ORB (:95-102).  orb_wta_k is parsed by the reference
+    # (config.cpp:99,:192) but never forwarded to cv::ORB::create — dead
+    # upstream; the descriptor here is fixed 2-point steered BRIEF
+    # (ops/orb.py), matching OpenCV's WTA_K=2 default.
     orb_nfeatures: int = 1200
     orb_scale_factor: float = 1.2
     orb_nlevels: int = 4
@@ -213,6 +220,9 @@ class PLSLAMConfig:
             plucker_lines=self.use_line_plucker,
             min_pt_matches=self.min_pt_matches,
             max_common_fts_kf=self.max_common_fts_kf,
+            has_refinement=self.has_refinement,
+            kf_inlier_ratio=self.kf_inlier_ratio,
+            min_features=self.min_features,
         )
 
     def loop_cfg(self):
@@ -226,11 +236,16 @@ class PLSLAMConfig:
             lc_trs=self.lc_trs,
             lc_rot=self.lc_rot,
             min_pt_matches=self.min_pt_matches,
+            min_ls_matches=self.min_ls_matches,
+            lc_inlier_ratio=self.lc_inlier_ratio,
+            lc_kf_max_dist=self.lc_kf_max_dist,
             vocabulary_file=self.vocabulary_p,
             vocabulary_file_l=self.vocabulary_l,
             vocab_refresh_kfs=self.vocab_refresh_kfs,
             pgo_iters=min(self.max_iters_pgo, 25),
             fuse_dist=self.max_point_point_error,
+            fuse_dist_pl=self.max_point_line_error,
+            fuse_dist_dir=self.max_dir_line_error,
         )
 
     def ba(self):

@@ -155,8 +155,10 @@ def test_loop_fusion_four_cases_points_and_lines():
     ls_pairs = np.asarray([[0, 0], [1, 1], [2, 2], [3, 3]])
     lc = LoopCloser(cam, mapper, LoopConfig())
     stats = lc._fuse_landmarks(1, 0, pt_pairs, ls_pairs)
-    # one of each case per modality
-    assert stats == {"ext_old": 2, "ext_new": 2, "created": 2, "fused": 2}
+    # one of each case per modality; nothing distance-gated (all pairs
+    # are views of the same world entity)
+    assert stats == {"ext_old": 2, "ext_new": 2, "created": 2, "fused": 2,
+                     "gated": 0}
 
     for i in range(4):
         # both sides now link to ONE live landmark with two observations
@@ -173,6 +175,143 @@ def test_loop_fusion_four_cases_points_and_lines():
     assert mp.n_pt == 5 and mp.n_ls == 5
     # every fusion case shares exactly one landmark between KF0 and KF1
     assert mp.covis[0, 1] == 8, mp.covis
+
+
+def test_loop_fusion_distance_gates_reject_aliased_landmarks():
+    """Fusion gates (max_point_point_error / max_point_line_error /
+    max_dir_line_error, slamConfig.cpp:54): two NEARBY-BUT-DISTINCT
+    landmarks whose descriptors alias (a wrong mutual-NNR pair at a loop
+    event) must NOT be welded; a gate failure leaves both landmarks and
+    both feature links untouched."""
+    cam = make_camera()
+    world = World(n_pts=8, n_ls=8)
+    mapper = MapHandler(cam, MapConfig())
+    mp = mapper.map
+    poses = lateral_poses(2, step=0.04)
+    kf0 = KeyframeRecord(0, poses[0], render_features(world, poses[0], cam))
+    kf1 = KeyframeRecord(1, poses[1], render_features(world, poses[1], cam))
+    mp.keyframes.extend([kf0, kf1])
+    mp.expand_graphs()
+
+    # the "duplicate" pair actually links two DIFFERENT world points, 0.5 m
+    # apart (gate default 0.1 m): feature 0 of KF0 -> world point 0,
+    # feature 1 of KF1 -> world point 1 with an aliased descriptor
+    d = float(np.linalg.norm(world.pts[0] - world.pts[1]))
+    assert d > 0.1, "fixture points must violate the default gate"
+    lm0 = mp.new_points(world.pts[0][None], world.pt_desc[0][None], 0,
+                        np.asarray([0]))[0]
+    lm1 = mp.new_points(world.pts[1][None], world.pt_desc[0][None], 1,
+                        np.asarray([1]))[0]
+    kf0.pt_lm[0] = lm0
+    kf1.pt_lm[1] = lm1
+
+    lc = LoopCloser(cam, mapper, LoopConfig())
+    # fuse case (both landmarks exist): aliased pair (0 in KF0, 1 in KF1)
+    stats = lc._fuse_landmarks(1, 0, np.asarray([[0, 1]]),
+                               np.zeros((0, 2), np.int64))
+    assert stats["fused"] == 0 and stats["gated"] == 1
+    assert mp.pt_valid[lm0] and mp.pt_valid[lm1]
+    assert kf0.pt_lm[0] == lm0 and kf1.pt_lm[1] == lm1
+
+    # extend case: landmark only on the new side, old-side feature sees a
+    # different world point -> gated, no observation added
+    stats = lc._fuse_landmarks(1, 0, np.asarray([[2, 1]]),
+                               np.zeros((0, 2), np.int64))
+    assert stats["ext_old"] == 0 and stats["gated"] == 1
+    assert mp.pt_nobs[lm1] == 1
+
+    # create case: the two features back-project to different world points
+    stats = lc._fuse_landmarks(1, 0, np.asarray([[4, 5]]),
+                               np.zeros((0, 2), np.int64))
+    assert stats["created"] == 0 and stats["gated"] == 1
+
+    # line direction gate: two world lines with different directions must
+    # not fuse even if their midpoints are close
+    llm0 = mp.new_lines(
+        np.zeros((1, 6)), world.ls_desc[0][None], 0, np.asarray([0]),
+        np.asarray([[[0.0, 0, 2], [1.0, 0, 2]]]))[0]
+    llm1 = mp.new_lines(
+        np.zeros((1, 6)), world.ls_desc[0][None], 1, np.asarray([1]),
+        np.asarray([[[0.5, -0.5, 2], [0.5, 0.5, 2]]]))[0]
+    kf0.ls_lm[0] = llm0
+    kf1.ls_lm[1] = llm1
+    stats = lc._fuse_landmarks(1, 0, np.zeros((0, 2), np.int64),
+                               np.asarray([[0, 1]]))
+    assert stats["fused"] == 0 and stats["gated"] == 1
+    assert mp.ls_valid[llm0] and mp.ls_valid[llm1]
+
+
+def test_descriptor_reelection_matches_median_rule():
+    """Batched refresh_landmark_descriptors == updateAverageDescDir
+    (mapFeatures.cpp:52-140): the representative descriptor becomes the
+    observation descriptor with minimal summed Hamming distance, so a
+    landmark whose viewpoint drifted re-elects a CURRENT descriptor
+    instead of keeping its creation-time one forever."""
+    cam = make_camera()
+    world = World(n_pts=8, n_ls=4)
+    mapper = MapHandler(cam, MapConfig())
+    mp = mapper.map
+    poses = lateral_poses(3, step=0.04)
+    kfs = [KeyframeRecord(i, poses[i], render_features(world, poses[i], cam))
+           for i in range(3)]
+    mp.keyframes.extend(kfs)
+    mp.expand_graphs()
+
+    # three observations with drifting descriptors: two nearby variants
+    # and one outlier — the elected one minimizes the summed distance
+    base = np.zeros(8, np.uint32)
+    drift = base.copy()
+    drift[0] = 0b111                      # 3 bits from base
+    outlier = np.full(8, 0xFFFFFFFF, np.uint32)
+    for kf in kfs:  # the packed device fetch yields read-only views
+        kf.pt_desc = kf.pt_desc.copy()
+        kf.ls_desc = kf.ls_desc.copy()
+    kfs[0].pt_desc[0] = outlier           # creation-time descriptor
+    kfs[1].pt_desc[0] = base
+    kfs[2].pt_desc[0] = drift
+    lm = mp.new_points(world.pts[0][None], outlier[None], 0,
+                       np.asarray([0]))[0]
+    mp.add_point_obs([lm], 1, [0])
+    mp.add_point_obs([lm], 2, [0])
+    assert (mp.pt_desc[lm] == outlier).all()
+
+    kfs[0].ls_desc[0] = outlier
+    kfs[1].ls_desc[0] = base
+    kfs[2].ls_desc[0] = drift
+    llm = mp.new_lines(np.zeros((1, 6)), outlier[None], 0, np.asarray([0]),
+                       np.zeros((1, 2, 3)))[0]
+    mp.add_line_obs([llm], 1, [0])
+    mp.add_line_obs([llm], 2, [0])
+
+    mapper.refresh_landmark_descriptors()
+    # oracle: brute-force argmin of summed pairwise Hamming distances
+    descs = np.stack([outlier, base, drift])
+    x = np.bitwise_xor(descs[:, None], descs[None, :])
+    D = np.bitwise_count(x).sum(-1)
+    best = descs[D.sum(1).argmin()]
+    assert (mp.pt_desc[lm] == best).all()
+    assert (mp.ls_desc[llm] == best).all()
+    assert not (mp.pt_desc[lm] == outlier).all()
+
+
+def test_descriptor_reelection_wired_into_mapping_path():
+    """The re-election actually RUNS from add_keyframe every
+    desc_refresh_kfs keyframes (the reference invokes
+    updateAverageDescDir from its matchKF2KF/Map2KF paths)."""
+    mapper, world, poses = _build_mapper(n_kf=5, n_pts=60, n_ls=8,
+                                         desc_refresh_kfs=2)
+    mp = mapper.map
+    # every multi-obs landmark's descriptor must equal one of its
+    # observations' descriptors under the median rule (here all obs share
+    # the world descriptor, so it must be unchanged — the wiring smoke
+    # check is that refresh ran without corrupting anything)
+    lms = np.where(mp.pt_valid & (mp.pt_nobs >= 3))[0]
+    assert len(lms) > 10
+    for lm in lms[:20]:
+        kfs_, fis = mp.point_obs(lm)
+        descs = np.stack([mp.keyframes[k].pt_desc[f]
+                          for k, f in zip(kfs_, fis)])
+        assert any((mp.pt_desc[lm] == d).all() for d in descs)
 
 
 def test_gba_covers_whole_map_in_chunks():
