@@ -92,6 +92,13 @@ class BAConfig(NamedTuple):
     chi2_gate: float = CHI2_TH
     optimize_lines: bool = True
     optimize_points: bool = True
+    # trace-relative Tikhonov floor of the landmark-block damped inverse.
+    # Endpoint-line blocks are rank-deficient (the along-line direction is
+    # flat), so f32 rounding in the gradient's null component produces
+    # updates of order |b|/(floor * tr) along the null space: 1e-6 admits
+    # meter-scale drift on small ill-conditioned problems (2-KF blocks of
+    # the kf-sharded GBA).  Raise for small-block consensus solves.
+    tikhonov: float = 1e-6
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +284,8 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
     return _Assembled(Hcc, bc, Hpp, bp, Wp, Hll, bl, Wl, cost)
 
 
-def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
+def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
+                dim: int, floor: float = 1e-6):
     """Per-landmark damped inverse (H + lam*diag(H))^-1; identity for
     invalid/unobserved landmarks (their delta is zeroed anyway)."""
     diag = jnp.eye(dim, dtype=Hblocks.dtype)
@@ -287,7 +295,7 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
     # absolute 1e-12 floor is nothing against trace ~1e4 — the landmark
     # would wander along its null space
     damped = (Hblocks + lam * Hblocks * diag
-              + (1e-6 * tr + 1e-12)[:, None, None] * diag)
+              + (floor * tr + 1e-12)[:, None, None] * diag)
     observed = tr > 1e-12
     use = valid & observed
     safe = jnp.where(use[:, None, None], damped, diag)
@@ -295,13 +303,14 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array, dim: int):
     return jnp.where(use[:, None, None], inv, 0.0), use
 
 
-def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array):
+def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
+                   floor: float = 1e-6):
     """Landmark-marginalized partial contributions to the reduced camera
     system: S_off = -W Hll^-1 W^T and rhs = bc - W Hll^-1 b.  These are
     linear in the observation set, so chunked/sharded assemblies sum them
     (the distributed Schur reduction of SURVEY.md §2.4)."""
-    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3)
-    Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4)
+    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3, floor)
+    Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, floor)
     S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
     S_off = S_off - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
     rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
@@ -355,7 +364,8 @@ def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
     Returns (dpose (K,6), dpoint (P,3), dline (L,4)).
     """
     free = prob.pose_valid & ~prob.pose_fixed
-    Hpp_inv, Hll_inv, S_off, rhs = schur_partials(a, prob, lam)
+    Hpp_inv, Hll_inv, S_off, rhs = schur_partials(a, prob, lam,
+                                                  cfg.tikhonov)
     dpose = solve_reduced(a.Hcc, S_off, rhs, lam, free)
     dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
     return dpose, dpoint, dline
@@ -495,7 +505,7 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             x, spts, sls, pa, la = inp
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
-            _, _, S_off, rhs = schur_partials(a, pr, lam)
+            _, _, S_off, rhs = schur_partials(a, pr, lam, cfg.tikhonov)
             Hcc_s, S_s, rhs_s = acc
             return (Hcc_s + a.Hcc, S_s + S_off, rhs_s + rhs), None
 
@@ -511,8 +521,10 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             x, spts, sls, pa, la = inp
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
-            Hpp_inv, _ = _damped_inv(a.Hpp, lam, pr.point_valid, 3)
-            Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4)
+            Hpp_inv, _ = _damped_inv(a.Hpp, lam, pr.point_valid, 3,
+                                     cfg.tikhonov)
+            Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4,
+                                     cfg.tikhonov)
             dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
             new_pts = spts - dpoint
             new_ls = jax.vmap(orth_plus)(sls, -dline)

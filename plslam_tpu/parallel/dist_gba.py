@@ -47,21 +47,28 @@ class BlockedGBA(NamedTuple):
     own_pt: np.ndarray              # (B, cap_pts) this block owns the slot
     ls_gid: np.ndarray              # (B, cap_ls)
     own_ls: np.ndarray              # (B, cap_ls)
-    pt_glob: np.ndarray             # (Ng, 3) global point table
+    pt_glob: np.ndarray             # (Ng[+2*Lg], 3) global point table
+    #                                 (endpoint mode appends 2 endpoint
+    #                                 rows per line after the Ng points)
     ls_orth_glob: np.ndarray        # (Lg, 4) global line orth table
     ls_scale_glob: np.ndarray       # (Lg,)
     block_kfs: list                 # per-block keyframe id lists
     pt_ids_glob: np.ndarray         # (Ng,) map row of each global slot
     ls_ids_glob: np.ndarray         # (Lg,)
+    plucker: bool                   # line parameterization of the blocks
 
 
 def partition_map(mapper, n_blocks: int) -> BlockedGBA:
     """Split the keyframe sequence into n contiguous blocks and assemble
     one padded BAProblem per block (globalBundleAdjustment :3022-3126
-    re-partitioned along the trajectory)."""
+    re-partitioned along the trajectory).  Both line modes: Pluecker
+    lines are consensus-reduced as 4-DoF orth rows; endpoint lines
+    (the reference's GBA parameterization, mapHandler.cpp:3128-3731)
+    ride the POINT consensus table as endpoint-pair rows, exactly as
+    they ride the point table inside each block's BAProblem."""
     mp = mapper.map
     cfg = mapper.cfg
-    assert cfg.plucker_lines, "kf-block GBA implemented for Pluecker mode"
+    plucker = cfg.plucker_lines
     kf_ids = [k.id for k in mp.keyframes if k.active]
     blocks = np.array_split(np.asarray(kf_ids), n_blocks)
     block_of_kf = np.zeros(len(mp.keyframes), np.int64)
@@ -106,6 +113,13 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
                  "anchors, not optimized", n_pin_pt, n_pin_ls)
 
     cap_k = max(len(ids) for ids in blocks)
+    Ng = len(pt_ids)
+    # endpoint mode: every line consumes two extra point-table slots in
+    # its block, so the point capacity available to actual points shrinks
+    # (the same invariant as global_bundle_adjustment's cap_p_eff)
+    cap_pt_eff = (cfg.ba_points if plucker
+                  else max(cfg.ba_points - 2 * cfg.ba_lines,
+                           cfg.ba_points // 2))
     probs, gids_p, owns_p, gids_l, owns_l = [], [], [], [], []
     for b, ids in enumerate(blocks):
         slotmask = np.zeros(len(mp.keyframes), bool)
@@ -120,12 +134,12 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         o_l = ls_ownable[g_of_ls[b_ls]] & (ls_owner[g_of_ls[b_ls]] == b)
         b_pt = np.concatenate([b_pt[o_p], b_pt[~o_p]])
         b_ls = np.concatenate([b_ls[o_l], b_ls[~o_l]])
-        if len(b_pt) > cfg.ba_points or len(b_ls) > cfg.ba_lines:
+        if len(b_pt) > cap_pt_eff or len(b_ls) > cfg.ba_lines:
             log.warning(
                 "kf-block GBA block %d over capacity: %d/%d points, "
                 "%d/%d lines — dropping trailing anchors", b,
-                len(b_pt), cfg.ba_points, len(b_ls), cfg.ba_lines)
-        b_pt = b_pt[: cfg.ba_points]
+                len(b_pt), cap_pt_eff, len(b_ls), cfg.ba_lines)
+        b_pt = b_pt[: cap_pt_eff]
         b_ls = b_ls[: cfg.ba_lines]
         prob, meta = mapper._assemble_problem(
             list(ids), b_pt, b_ls, cfg.ba_points, cfg.ba_lines,
@@ -139,13 +153,29 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         own_l = np.zeros(cfg.ba_lines, bool)
         own_l[: len(b_ls)] = (ls_ownable[g_of_ls[b_ls]]
                               & (ls_owner[g_of_ls[b_ls]] == b))
-        prob = prob._replace(
-            point_valid=np.asarray(prob.point_valid) & own_p,
-            line_valid=np.asarray(prob.line_valid) & own_l)
         gp = np.zeros(cfg.ba_points, np.int32)
         gp[: len(b_pt)] = g_of_pt[b_pt]
         gl = np.zeros(cfg.ba_lines, np.int32)
         gl[: len(b_ls)] = g_of_ls[b_ls]
+        if not plucker:
+            if len(b_ls):
+                # endpoint pairs live in the point table from ep_base:
+                # their global consensus rows are Ng + 2*g(+1), owned
+                # with the line
+                ep_base = meta["ep_base"]
+                sl = np.arange(len(b_ls))
+                gsl = g_of_ls[b_ls]
+                for off in (0, 1):
+                    rows = ep_base + 2 * sl + off
+                    gp[rows] = Ng + 2 * gsl + off
+                    own_p[rows] = own_l[: len(b_ls)]
+            # the orth consensus is a no-op here (1-row dummy table):
+            # keep its gids/ownership zero so the scatter stays in bounds
+            own_l = np.zeros(cfg.ba_lines, bool)
+            gl = np.zeros(cfg.ba_lines, np.int32)
+        prob = prob._replace(
+            point_valid=np.asarray(prob.point_valid) & own_p,
+            line_valid=np.asarray(prob.line_valid) & own_l)
         probs.append(prob)
         gids_p.append(gp)
         owns_p.append(own_p)
@@ -153,34 +183,59 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         owns_l.append(own_l)
 
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *probs)
-    Lws = mp.ls_w[ls_ids]
-    scales = np.linalg.norm(Lws, axis=-1) if len(ls_ids) else np.zeros(0)
-    if len(ls_ids):
-        from ..backend.mapping import _orth_batch
+    pt_glob = mp.pt_w[pt_ids].astype(np.float32)
+    if plucker:
+        Lws = mp.ls_w[ls_ids]
+        scales = (np.linalg.norm(Lws, axis=-1) if len(ls_ids)
+                  else np.zeros(0))
+        if len(ls_ids):
+            from ..backend.mapping import _orth_batch
 
-        orth = np.asarray(_orth_batch(jnp.asarray(
-            (Lws / np.maximum(scales, 1e-12)[:, None]).astype(np.float32))))
+            orth = np.asarray(_orth_batch(jnp.asarray(
+                (Lws / np.maximum(scales, 1e-12)[:, None]
+                 ).astype(np.float32))))
+        else:
+            orth = np.zeros((0, 4), np.float32)
     else:
-        orth = np.zeros((0, 4), np.float32)
+        # endpoint rows join the point consensus table; the orth table is
+        # a 1-row dummy so the (no-op) line consensus psum stays
+        # shape-valid with all own_ls False
+        scales = np.zeros(len(ls_ids))
+        orth = np.zeros((1, 4), np.float32)
+        if len(ls_ids):
+            pt_glob = np.concatenate(
+                [pt_glob,
+                 mp.ls_epw[ls_ids].reshape(-1, 3).astype(np.float32)])
     return BlockedGBA(
         prob=stacked, pt_gid=np.stack(gids_p), own_pt=np.stack(owns_p),
         ls_gid=np.stack(gids_l), own_ls=np.stack(owns_l),
-        pt_glob=mp.pt_w[pt_ids].astype(np.float32),
+        pt_glob=pt_glob,
         ls_orth_glob=orth.astype(np.float32),
         ls_scale_glob=scales.astype(np.float32),
         block_kfs=[list(ids) for ids in blocks],
-        pt_ids_glob=pt_ids, ls_ids_glob=ls_ids)
+        pt_ids_glob=pt_ids, ls_ids_glob=ls_ids, plucker=plucker)
 
 
 def make_kf_block_gba(mesh: Mesh, cam: StereoCamera,
-                      cfg: ba_mod.BAConfig, rounds: int = 2):
+                      cfg: ba_mod.BAConfig, rounds: int = 2,
+                      endpoint_lines: bool = False):
     """Jitted shard_map program: per-block two-round Schur BA + landmark
-    consensus psum between rounds."""
+    consensus psum between rounds.  ``endpoint_lines`` selects the
+    endpoint-parameterized problem layout (p_lo/p_is_line present)."""
     # p_lo/p_is_line are None in Pluecker mode — they must be None (not a
-    # spec leaf) so the in_specs treedef matches the argument's
+    # spec leaf) so the in_specs treedef matches the argument's; in
+    # endpoint mode they are real (B, cap_pobs) leaves sharded like the
+    # rest
+    none_fields = () if endpoint_lines else ("p_lo", "p_is_line")
     pspec = ba_mod.BAProblem(**{
-        f: (None if f in ("p_lo", "p_is_line") else P(AXIS))
+        f: (None if f in none_fields else P(AXIS))
         for f in ba_mod.BAProblem._fields})
+
+    # small (2-4 KF) blocks re-triangulate owned landmarks from very short
+    # baselines: raise the landmark-block Tikhonov floor so rank-deficient
+    # directions (endpoint along-line, 2-view depth) can't absorb f32
+    # rounding noise as meter-scale drift (see BAConfig.tikhonov)
+    cfg = cfg._replace(tikhonov=max(cfg.tikhonov, 1e-4))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -223,7 +278,8 @@ def distributed_global_bundle_adjustment(mapper, mesh: Mesh,
 
     n_blocks = mesh.devices.size
     blk = partition_map(mapper, n_blocks)
-    run = make_kf_block_gba(mesh, mapper.cam, mapper.ba_cfg, rounds)
+    run = make_kf_block_gba(mesh, mapper.cam, mapper.ba_cfg, rounds,
+                            endpoint_lines=not blk.plucker)
 
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
@@ -239,11 +295,25 @@ def distributed_global_bundle_adjustment(mapper, mesh: Mesh,
         for s, kfid in enumerate(ids):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T_blocks[b][s], np.float64))
-    if len(blk.pt_ids_glob):
-        mp.pt_w[blk.pt_ids_glob] = np.asarray(pt_glob, np.float64)
+    Ng = len(blk.pt_ids_glob)
+    pt_glob = np.asarray(pt_glob, np.float64)
+    if Ng:
+        mp.pt_w[blk.pt_ids_glob] = pt_glob[:Ng]
     if len(blk.ls_ids_glob):
-        Lw = np.asarray(_plucker_from_orth_batch(jnp.asarray(ls_orth)))
-        Lw = Lw * blk.ls_scale_glob[:, None]
-        mp.ls_w[blk.ls_ids_glob] = _np_normalize_plucker(
-            Lw.astype(np.float64))
+        ls_ids = blk.ls_ids_glob
+        if blk.plucker:
+            Lw = np.asarray(_plucker_from_orth_batch(jnp.asarray(ls_orth)))
+            Lw = Lw * blk.ls_scale_glob[:, None]
+            mp.ls_w[ls_ids] = _np_normalize_plucker(Lw.astype(np.float64))
+        else:
+            # endpoint mode: optimized endpoints come back through the
+            # point consensus table; refresh ls_epw and the Pluecker form
+            # (mapHandler.cpp:3128-3731 write-back semantics)
+            ep = pt_glob[Ng:].reshape(-1, 2, 3)
+            mp.ls_epw[ls_ids] = ep
+            d = ep[:, 1] - ep[:, 0]
+            nd = np.linalg.norm(d, axis=-1)
+            ok = np.isfinite(nd) & (nd > 1e-9)
+            Lw = np.concatenate([np.cross(ep[:, 0], ep[:, 1]), d], 1)
+            mp.ls_w[ls_ids[ok]] = Lw[ok] / nd[ok, None]
     return blk

@@ -116,3 +116,67 @@ def test_distributed_gba_on_real_map_runs_under_mesh():
     after = np.stack([k.T_w_k for k in mapper.map.keyframes])
     assert np.isfinite(after).all()
     assert after.shape == before.shape
+
+
+def _build_endpoint(n_kf=16, n_pts=300, n_ls=16):
+    cam = make_camera()
+    world = World(n_pts=n_pts, n_ls=n_ls, seed=9)
+    cfg = MapConfig(ba_points=512, ba_lines=64, ba_pobs=4096, ba_lobs=512,
+                    plucker_lines=False)
+    mapper = MapHandler(cam, cfg)
+    poses = lateral_poses(n_kf, step=0.04)
+    mapper.initialize(poses[0], render_features(world, poses[0], cam))
+    for T in poses[1:]:
+        mapper.add_keyframe(T, render_features(world, T, cam), run_ba=False)
+    return mapper, world, poses
+
+
+def test_kf_block_gba_endpoint_mode_reduces_error():
+    """Endpoint-parameterized (non-Pluecker) kf-block GBA: line endpoints
+    ride the point consensus table (the reference's GBA parameterization,
+    mapHandler.cpp:3128-3731), so the loop-closure baseline config can use
+    the sequence-block distribution too."""
+    mapper, world, poses = _build_endpoint()
+    mp = mapper.map
+    rng = np.random.default_rng(1)
+    eligible = np.where(mp.pt_valid & (mp.pt_nobs >= 2))[0]
+    truth = mp.pt_w[eligible].copy()
+    mp.pt_w[eligible] = truth + rng.normal(0, 0.03, truth.shape)
+    l_eligible = np.where(mp.ls_valid & (mp.ls_nobs >= 2))[0]
+    l_truth = mp.ls_epw[l_eligible].copy()
+    mp.ls_epw[l_eligible] = l_truth + rng.normal(0, 0.03, l_truth.shape)
+    for kf in mp.keyframes[1:]:
+        kf.T_w_k = kf.T_w_k.copy()
+        kf.T_w_k[:3, 3] += rng.normal(0, 0.01, 3)
+    pre_err = np.linalg.norm(mp.pt_w[eligible] - truth, axis=1)
+    pre_lerr = np.linalg.norm(
+        (mp.ls_epw[l_eligible] - l_truth).reshape(len(l_eligible), -1),
+        axis=1)
+
+    mesh = make_mesh(8, axis='kf')
+    blk = dist_gba.distributed_global_bundle_adjustment(mapper, mesh,
+                                                        rounds=2)
+    assert not blk.plucker
+    # the global point table carries 2 endpoint rows per global line
+    assert len(blk.pt_glob) == len(blk.pt_ids_glob) + 2 * len(
+        blk.ls_ids_glob)
+    # ownership exclusive across ALL consensus rows (points + endpoints)
+    owned = np.zeros(len(blk.pt_glob), np.int64)
+    for b in range(8):
+        owned[blk.pt_gid[b][blk.own_pt[b]]] += 1
+    assert (owned <= 1).all()
+    assert owned[len(blk.pt_ids_glob):].sum() > 0, "no endpoint rows owned"
+
+    post_err = np.linalg.norm(mp.pt_w[eligible] - truth, axis=1)
+    assert np.median(post_err) < 0.5 * np.median(pre_err), (
+        np.median(pre_err), np.median(post_err))
+    post_lerr = np.linalg.norm(
+        (mp.ls_epw[l_eligible] - l_truth).reshape(len(l_eligible), -1),
+        axis=1)
+    assert np.median(post_lerr) < np.median(pre_lerr), (
+        np.median(pre_lerr), np.median(post_lerr))
+    # the Pluecker mirror of each line was refreshed to ||d|| = 1
+    d = mp.ls_w[l_eligible][:, 3:]
+    assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-6)
+    assert np.isfinite(
+        np.stack([k.T_w_k for k in mp.keyframes])).all()
