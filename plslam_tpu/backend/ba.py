@@ -243,6 +243,45 @@ class _Assembled(NamedTuple):
     cost: jax.Array
 
 
+def _use_matmul_accumulate() -> bool:
+    """Scatter-add into (K, P, 6, 3) blocks lowers to slow per-element DMA
+    on TPU; one-hot matmuls ride the MXU instead (the same reformulation
+    that won for convs in ops/image.py).  On CPU (the f64 test backend)
+    scatters are faster and the one-hot matrices are large, so keep them."""
+    return jax.default_backend() not in ("cpu",)
+
+
+def _accumulate(cam_idx, lm_idx, K, n_lm, w, Jc, Jl, e, dtype):
+    """Weighted normal-equation blocks of one modality: returns
+    (Hcc, bc, Hll_blocks, bl, W) accumulated per camera / landmark /
+    (camera, landmark) pair."""
+    d = Jl.shape[-1]
+    Gcc = jnp.einsum("n,nij,nik->njk", w, Jc, Jc)       # (N, 6, 6)
+    gc = jnp.einsum("n,nij,ni->nj", w, Jc, e)           # (N, 6)
+    Gll = jnp.einsum("n,nij,nik->njk", w, Jl, Jl)       # (N, d, d)
+    gl = jnp.einsum("n,nij,ni->nj", w, Jl, e)           # (N, d)
+    Gcl = jnp.einsum("n,nij,nik->njk", w, Jc, Jl)       # (N, 6, d)
+    if _use_matmul_accumulate():
+        # HIGHEST precision: the default TPU matmul runs bf16 passes, and
+        # Hessian accumulation needs full f32 (same lesson as the banded
+        # filters in ops/image.py)
+        hi = jax.lax.Precision.HIGHEST
+        ohc = (cam_idx[None, :] == jnp.arange(K)[:, None]).astype(dtype)
+        ohl = (lm_idx[None, :] == jnp.arange(n_lm)[:, None]).astype(dtype)
+        Hcc = jnp.einsum("kn,nab->kab", ohc, Gcc, precision=hi)
+        bc = jnp.einsum("kn,na->ka", ohc, gc, precision=hi)
+        Hll = jnp.einsum("pn,nab->pab", ohl, Gll, precision=hi)
+        bl = jnp.einsum("pn,na->pa", ohl, gl, precision=hi)
+        W = jnp.einsum("kn,pn,nab->kpab", ohc, ohl, Gcl, precision=hi)
+        return Hcc, bc, Hll, bl, W
+    Hcc = jnp.zeros((K, 6, 6), dtype).at[cam_idx].add(Gcc)
+    bc = jnp.zeros((K, 6), dtype).at[cam_idx].add(gc)
+    Hll = jnp.zeros((n_lm, d, d), dtype).at[lm_idx].add(Gll)
+    bl = jnp.zeros((n_lm, d), dtype).at[lm_idx].add(gl)
+    W = jnp.zeros((K, n_lm, 6, d), dtype).at[cam_idx, lm_idx].add(Gcl)
+    return Hcc, bc, Hll, bl, W
+
+
 def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
              p_active: jax.Array, l_active: jax.Array,
              robust: bool = True) -> _Assembled:
@@ -254,30 +293,17 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
     e_p, Jc_p, Jp_p = point_obs_residuals(prob, cam)
     w_p = _w(e_p, robust) * prob.p_sigma2
     w_p = jnp.where(p_active, w_p, 0.0)
-    # weighted blocks
-    Hcc = jnp.zeros((K, 6, 6), dtype).at[prob.p_cam].add(
-        jnp.einsum("n,nij,nik->njk", w_p, Jc_p, Jc_p))
-    bc = jnp.zeros((K, 6), dtype).at[prob.p_cam].add(
-        jnp.einsum("n,nij,ni->nj", w_p, Jc_p, e_p))
-    Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.p_lm].add(
-        jnp.einsum("n,nij,nik->njk", w_p, Jp_p, Jp_p))
-    bp = jnp.zeros((P, 3), dtype).at[prob.p_lm].add(
-        jnp.einsum("n,nij,ni->nj", w_p, Jp_p, e_p))
-    Wp = jnp.zeros((K, P, 6, 3), dtype).at[prob.p_cam, prob.p_lm].add(
-        jnp.einsum("n,nij,nik->njk", w_p, Jc_p, Jp_p))
+    Hcc, bc, Hpp, bp, Wp = _accumulate(
+        prob.p_cam, prob.p_lm, K, P, w_p, Jc_p, Jp_p, e_p, dtype)
     cost = jnp.sum(jnp.where(p_active, _rho(e_p, robust) * prob.p_sigma2, 0.0))
 
     e_l, Jc_l, Jl_l = line_obs_residuals(prob, cam)
     w_l = _w(e_l, robust) * prob.l_sigma2
     w_l = jnp.where(l_active, w_l, 0.0)
-    Hcc = Hcc.at[prob.l_cam].add(jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jc_l))
-    bc = bc.at[prob.l_cam].add(jnp.einsum("n,nij,ni->nj", w_l, Jc_l, e_l))
-    Hll = jnp.zeros((L, 4, 4), dtype).at[prob.l_lm].add(
-        jnp.einsum("n,nij,nik->njk", w_l, Jl_l, Jl_l))
-    bl = jnp.zeros((L, 4), dtype).at[prob.l_lm].add(
-        jnp.einsum("n,nij,ni->nj", w_l, Jl_l, e_l))
-    Wl = jnp.zeros((K, L, 6, 4), dtype).at[prob.l_cam, prob.l_lm].add(
-        jnp.einsum("n,nij,nik->njk", w_l, Jc_l, Jl_l))
+    Hcc_l, bc_l, Hll, bl, Wl = _accumulate(
+        prob.l_cam, prob.l_lm, K, L, w_l, Jc_l, Jl_l, e_l, dtype)
+    Hcc = Hcc + Hcc_l
+    bc = bc + bc_l
     cost = cost + jnp.sum(
         jnp.where(l_active, _rho(e_l, robust) * prob.l_sigma2, 0.0))
 

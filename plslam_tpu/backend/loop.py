@@ -115,18 +115,22 @@ class LoopCloser:
 
     # -- BoW bookkeeping ---------------------------------------------------
 
-    def _ensure_vocab(self):
+    def _ensure_vocab(self, kf_id: int | None = None):
         """Load a pre-trained DBoW2 vocabulary when configured
         (mapHandler.cpp:41-44, SlamConfig vocabulary_p), else train online
-        from accumulated KF descriptors (the corpus is the map itself)."""
+        from accumulated KF descriptors (the corpus is the map itself).
+        ``kf_id`` bounds the corpus/back-fill: on the async LC worker the
+        map may already hold newer keyframes than the one being encoded."""
         if self.voc is not None:
             return True
+        if kf_id is None:
+            kf_id = len(self.mapper.map.keyframes) - 1
+        kfs = self.mapper.map.keyframes[: kf_id + 1]
         if self.cfg.vocabulary_file:
             self.voc = vocab_mod.load_dbow2_vocabulary(
                 self.cfg.vocabulary_file)
         else:
-            descs = [kf.pt_desc[kf.pt_valid]
-                     for kf in self.mapper.map.keyframes]
+            descs = [kf.pt_desc[kf.pt_valid] for kf in kfs]
             corpus = (np.concatenate(descs) if descs
                       else np.zeros((0, 8), np.uint32))
             if len(corpus) < 500:
@@ -142,8 +146,7 @@ class LoopCloser:
                 self.voc_l = vocab_mod.load_dbow2_vocabulary(
                     self.cfg.vocabulary_file_l)
             else:
-                ldescs = [kf.ls_desc[kf.ls_valid]
-                          for kf in self.mapper.map.keyframes]
+                ldescs = [kf.ls_desc[kf.ls_valid] for kf in kfs]
                 lcorpus = (np.concatenate(ldescs) if ldescs
                            else np.zeros((0, 8), np.uint32))
                 if len(lcorpus) >= 100:
@@ -156,7 +159,7 @@ class LoopCloser:
                     lambda d, v: vocab_mod.transform(voc_l, d, v))
         # back-fill vectors for all *previous* KFs (the caller appends the
         # newest one itself — keep bow/conf aligned with keyframe ids)
-        prev = self.mapper.map.keyframes[:-1]
+        prev = kfs[:-1]
         self.bow = [self._bow_of(kf) for kf in prev]
         k = len(self.bow)
         self.conf = np.zeros((k, k), np.float32)
@@ -209,20 +212,21 @@ class LoopCloser:
         return ((sp * n_pt + sl * n_ls) / n_pl
                 + (sp * std_pt + sl * std_ls) / std_pl).astype(np.float32)
 
-    def _retrain_vocabulary(self):
+    def _retrain_vocabulary(self, kf_id: int):
         """Online-vocabulary refresh (vocab_refresh_kfs): retrain on the
-        full descriptor corpus of the CURRENT map, re-encode every KF, and
-        rebuild the conf matrix.  _ensure_vocab back-fills keyframes[:-1];
-        the newest KF's record and conf row are appended here, keeping
-        bow/conf aligned with keyframe ids exactly like on_new_keyframe."""
+        full descriptor corpus of the map up to ``kf_id``, re-encode every
+        KF, and rebuild the conf matrix.  _ensure_vocab back-fills
+        keyframes[:kf_id]; the newest KF's record and conf row are
+        appended here, keeping bow/conf aligned with keyframe ids exactly
+        like on_new_keyframe."""
         self.voc = None
         self.voc_l = None
         self._tf = None
         self._tf_l = None
         self.bow = []
-        if not self._ensure_vocab():
+        if not self._ensure_vocab(kf_id):
             return
-        v = self._bow_of(self.mapper.map.keyframes[-1])
+        v = self._bow_of(self.mapper.map.keyframes[kf_id])
         self.bow.append(v)
         k = len(self.bow)
         conf = np.zeros((k, k), np.float32)
@@ -232,17 +236,24 @@ class LoopCloser:
         conf[: k - 1, k - 1] = row
         self.conf = conf
 
-    def on_new_keyframe(self) -> dict | None:
+    def on_new_keyframe(self, kf_id: int | None = None) -> dict | None:
         """Call after MapHandler.add_keyframe: update the conf matrix and
         attempt one loop closure.  Returns a report dict when a loop was
-        closed (loopClosure :4053-4116)."""
-        if not self._ensure_vocab():
-            return None
+        closed (loopClosure :4053-4116).
+
+        Thread contract (the dedicated LC worker, the analog of the
+        reference's loop-closure thread, mapHandler.cpp:1302-1386):
+        detection/verification read only immutable per-KF feature arrays
+        and this object's own bow/conf state, so they run WITHOUT the map
+        lock while the mapping worker keeps inserting keyframes; only the
+        map-mutating correction (_close: PGO + pose/landmark rewrite +
+        fusion) takes the mapper's map lock."""
         mp = self.mapper.map
-        kf = mp.keyframes[-1]
-        if len(self.bow) < len(mp.keyframes) - 1:
-            # KFs added before vocab training already back-filled
-            pass
+        if kf_id is None:
+            kf_id = len(mp.keyframes) - 1
+        if not self._ensure_vocab(kf_id):
+            return None
+        kf = mp.keyframes[kf_id]
         v = self._bow_of(kf)
         self.bow.append(v)
         k = len(self.bow)
@@ -255,7 +266,7 @@ class LoopCloser:
 
         if (self.cfg.vocab_refresh_kfs and not self.cfg.vocabulary_file
                 and k % self.cfg.vocab_refresh_kfs == 0):
-            self._retrain_vocabulary()
+            self._retrain_vocabulary(kf_id)
 
         cand = self._look_for_candidates(kf.id)
         if cand is None:
@@ -263,7 +274,8 @@ class LoopCloser:
         ok, T_rel, pt_pairs, ls_pairs = self._verify_candidate(kf.id, cand)
         if not ok:
             return None
-        report = self._close(kf.id, cand, T_rel, pt_pairs, ls_pairs)
+        with self.mapper._map_lock:
+            report = self._close(kf.id, cand, T_rel, pt_pairs, ls_pairs)
         self.closed_at = kf.id
         return report
 
@@ -281,8 +293,10 @@ class LoopCloser:
             return None
         best = int(scores.argmax())
         best_score = scores[best]
-        # must beat the min covisible-KF score (:4260-4279)
-        covis = self.mapper.map.covis[kf_id]
+        # must beat the min covisible-KF score (:4260-4279).  On the async
+        # LC worker the covis matrix may already cover newer keyframes
+        # than the conf matrix — clip to the encoded range.
+        covis = self.mapper.map.covis[kf_id][: kf_id + 1]
         cov_ids = np.where(covis > 0)[0]
         if len(cov_ids):
             min_cov = float(self.conf[kf_id, cov_ids].min())

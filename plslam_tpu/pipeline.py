@@ -92,6 +92,12 @@ class PLSLAM:
         self._kf_queue: queue.Queue | None = None
         self._map_thread: threading.Thread | None = None
         self._map_errors: list[BaseException] = []
+        # dedicated loop-closure worker (the reference's loop-closure
+        # thread, mapHandler.cpp:1302-1386): BoW encoding + candidate
+        # verification must not hold up the bounded KF queue, or a loop
+        # event back-pressures the tracker through the mapping worker
+        self._lc_queue: queue.Queue | None = None
+        self._lc_thread: threading.Thread | None = None
         if self.config.multithread_slam:
             # bounded: the device executes dispatches FIFO, so an unbounded
             # tracker run-ahead makes every mapping fetch wait behind the
@@ -103,6 +109,12 @@ class PLSLAM:
                 target=self._mapping_worker, name="plslam-mapper",
                 daemon=True)
             self._map_thread.start()
+            if self.loop_closer is not None:
+                self._lc_queue = queue.Queue()
+                self._lc_thread = threading.Thread(
+                    target=self._lc_worker, name="plslam-loopcloser",
+                    daemon=True)
+                self._lc_thread.start()
 
     # -- mapping thread ----------------------------------------------------
 
@@ -121,15 +133,37 @@ class PLSLAM:
             finally:
                 self._kf_queue.task_done()
 
+    def _lc_worker(self):
+        """Pop keyframe ids until the None sentinel; detection and
+        verification run lock-free on immutable KF feature arrays, only a
+        successful closure's correction takes the map lock (loop.py
+        on_new_keyframe)."""
+        while True:
+            kf_id = self._lc_queue.get()
+            try:
+                if kf_id is None:
+                    return
+                report = self.loop_closer.on_new_keyframe(kf_id)
+                if report:
+                    self.loop_reports.append(report)
+            except BaseException as e:  # surfaced at finish()
+                self._map_errors.append(e)
+            finally:
+                self._lc_queue.task_done()
+
     def _insert_keyframe(self, pose, feats):
         # defer_ba: the local-BA fetch + write-back overlaps the NEXT
         # keyframe's association (one combined sync), the pipeline analog
         # of the reference's LBA thread lag (mapHandler.cpp:1251-1300)
         self.mapper.add_keyframe(pose, feats, defer_ba=True)
         if self.loop_closer is not None:
-            report = self.loop_closer.on_new_keyframe()
-            if report:
-                self.loop_reports.append(report)
+            kf_id = len(self.mapper.map.keyframes) - 1
+            if self._lc_queue is not None:
+                self._lc_queue.put(kf_id)
+            else:
+                report = self.loop_closer.on_new_keyframe(kf_id)
+                if report:
+                    self.loop_reports.append(report)
 
     def insert_keyframe_features(self, pose: np.ndarray, feats,
                                  timestamp: float = 0.0):
@@ -142,7 +176,10 @@ class PLSLAM:
         if len(self.mapper.map.keyframes) == 0:
             self.mapper.initialize(np.asarray(pose, np.float64), feats)
             if self.loop_closer is not None:
-                self.loop_closer.on_new_keyframe()
+                if self._lc_queue is not None:
+                    self._lc_queue.put(0)
+                else:
+                    self.loop_closer.on_new_keyframe(0)
             return
         job = (np.asarray(pose, np.float64), feats)
         if self._kf_queue is not None:
@@ -151,10 +188,12 @@ class PLSLAM:
             self._insert_keyframe(*job)
 
     def wait_until_idle(self):
-        """Block until the mapping queue has drained (for tests and for
-        callers that read the map mid-run)."""
+        """Block until the mapping and loop-closure queues have drained
+        (for tests and for callers that read the map mid-run)."""
         if self._kf_queue is not None:
             self._kf_queue.join()
+        if self._lc_queue is not None:
+            self._lc_queue.join()
         # apply any deferred local-BA result so readers see a consistent map
         self.mapper.flush_ba()
 
@@ -230,8 +269,13 @@ class PLSLAM:
             self._map_thread.join()
             self._map_thread = None
             self._kf_queue = None
-            if self._map_errors:
-                raise self._map_errors[0]
+        if self._lc_thread is not None:
+            self._lc_queue.put(None)
+            self._lc_thread.join()
+            self._lc_thread = None
+            self._lc_queue = None
+        if self._map_errors:
+            raise self._map_errors[0]
         if run_gba and len(self.mapper.map.keyframes) >= 3:
             self.global_bundle_adjustment(mesh=mesh)
         return self.keyframe_trajectory()

@@ -90,3 +90,66 @@ def test_plot_frame(both_runs):
     with tempfile.TemporaryDirectory() as d:
         p = viz.plot_frame(il, feats, os.path.join(d, "frame.png"))
         assert os.path.getsize(p) > 1000
+
+
+def test_loop_closure_runs_off_the_mapping_worker():
+    """The dedicated LC worker (reference loop-closure thread,
+    mapHandler.cpp:1302-1386): a slow loop-closure detection must NOT
+    back-pressure the bounded KF queue through the mapping worker — the
+    tracker keeps inserting keyframes while LC lags behind, and every
+    queued LC job still runs by the time the pipeline idles."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _map_fixtures import World, lateral_poses, make_camera, \
+        render_features
+
+    cam = make_camera()
+    world = World(n_pts=120, n_ls=12)
+    cfg = PLSLAMConfig(use_line_plucker=False, use_loop_closure=True,
+                       multithread_slam=True)
+    slam = PLSLAM(cam, cfg, MapConfig(use_lines=True, plucker_lines=False,
+                                      local_ba_kf=8))
+    assert slam._lc_thread is not None, "LC worker must exist"
+
+    import threading
+
+    done = []
+    lc_blocked = threading.Event()
+    lc_release = threading.Event()
+
+    def blocking_lc(kf_id=None):
+        done.append(kf_id)
+        if kf_id == 1:  # an "in-progress loop closure" that takes forever
+            lc_blocked.set()
+            assert lc_release.wait(timeout=120)
+        return None
+
+    slam.loop_closer.on_new_keyframe = blocking_lc
+
+    n = 8
+    poses = lateral_poses(n, step=0.04)
+    feats = [render_features(world, T, cam) for T in poses]
+    slam.insert_keyframe_features(poses[0], feats[0], timestamp=0.0)
+    slam.insert_keyframe_features(poses[1], feats[1], timestamp=0.1)
+    assert lc_blocked.wait(timeout=120)
+
+    # with LC now stuck mid-closure, the remaining keyframes must still
+    # flow through the bounded KF queue and the mapping worker — inline
+    # LC (the old design) would wedge the queue and block this feed
+    def feed_rest():
+        for i in range(2, n):
+            slam.insert_keyframe_features(poses[i], feats[i],
+                                          timestamp=0.1 * i)
+        slam._kf_queue.join()
+
+    t = threading.Thread(target=feed_rest, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    stalled = t.is_alive()
+    lc_release.set()  # let the LC worker finish either way
+    assert not stalled, "KF feed wedged behind the in-progress loop closure"
+    assert len(slam.mapper.map.keyframes) == n
+    slam.wait_until_idle()
+    assert sorted(done) == list(range(n)), done  # every queued LC job ran
+    slam.finish(run_gba=False)
