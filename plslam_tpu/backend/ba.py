@@ -93,12 +93,19 @@ class BAConfig(NamedTuple):
     optimize_lines: bool = True
     optimize_points: bool = True
     # trace-relative Tikhonov floor of the landmark-block damped inverse.
-    # Endpoint-line blocks are rank-deficient (the along-line direction is
-    # flat), so f32 rounding in the gradient's null component produces
-    # updates of order |b|/(floor * tr) along the null space: 1e-6 admits
-    # meter-scale drift on small ill-conditioned problems (2-KF blocks of
-    # the kf-sharded GBA).  Raise for small-block consensus solves.
+    # Small (1e-6) for regular 3-DoF points and 4-DoF orth lines: a larger
+    # floor damps the weakly-constrained depth direction of low-parallax
+    # points and visibly stalls convergence on clean problems.
     tikhonov: float = 1e-6
+    # separate, HIGHER floor for endpoint-line slots of the point table:
+    # their point-to-line residuals leave the along-line direction exactly
+    # flat, so rounding noise in the gradient's null component produces
+    # updates of order |b|/(floor*tr) along the null space.  Measured on a
+    # 16-KF/300-pt endpoint-mode GBA: median point error 0.044 -> 0.277 at
+    # a uniform 1e-6 floor (endpoint drift pollutes the pose solve) vs
+    # 0.044 -> 0.006 with endpoint slots floored at 1e-4, identical final
+    # cost.  Applied per slot by point_block_floor().
+    tikhonov_endpoint: float = 1e-4
 
 
 # ---------------------------------------------------------------------------
@@ -311,9 +318,11 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
 
 
 def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
-                dim: int, floor: float = 1e-6):
+                dim: int, floor=1e-6):
     """Per-landmark damped inverse (H + lam*diag(H))^-1; identity for
-    invalid/unobserved landmarks (their delta is zeroed anyway)."""
+    invalid/unobserved landmarks (their delta is zeroed anyway).
+    ``floor`` is the trace-relative Tikhonov floor — a scalar, or a
+    per-block (n,) array (point_block_floor)."""
     diag = jnp.eye(dim, dtype=Hblocks.dtype)
     tr = jnp.einsum("nii->n", Hblocks)
     # trace-relative Tikhonov: endpoint-line blocks are rank-deficient
@@ -329,14 +338,28 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
     return jnp.where(use[:, None, None], inv, 0.0), use
 
 
+def point_block_floor(prob: BAProblem, cfg: BAConfig) -> jax.Array:
+    """Per-slot Tikhonov floor for the point table: endpoint-line slots
+    (rank-deficient along-line) get cfg.tikhonov_endpoint, true 3-DoF
+    points keep cfg.tikhonov (see BAConfig for the measured rationale)."""
+    P = prob.points.shape[0]
+    base = jnp.full(P, cfg.tikhonov, prob.points.dtype)
+    if prob.p_is_line is None:
+        return base
+    is_ep = jnp.zeros(P, bool).at[prob.p_lm].max(prob.p_is_line)
+    return jnp.where(is_ep, jnp.maximum(cfg.tikhonov,
+                                        cfg.tikhonov_endpoint), base)
+
+
 def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
-                   floor: float = 1e-6):
+                   cfg: BAConfig = BAConfig()):
     """Landmark-marginalized partial contributions to the reduced camera
     system: S_off = -W Hll^-1 W^T and rhs = bc - W Hll^-1 b.  These are
     linear in the observation set, so chunked/sharded assemblies sum them
     (the distributed Schur reduction of SURVEY.md §2.4)."""
-    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3, floor)
-    Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, floor)
+    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3,
+                             point_block_floor(prob, cfg))
+    Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, cfg.tikhonov)
     S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
     S_off = S_off - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
     rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
@@ -390,8 +413,7 @@ def solve_schur(a: _Assembled, prob: BAProblem, cfg: BAConfig, lam: jax.Array):
     Returns (dpose (K,6), dpoint (P,3), dline (L,4)).
     """
     free = prob.pose_valid & ~prob.pose_fixed
-    Hpp_inv, Hll_inv, S_off, rhs = schur_partials(a, prob, lam,
-                                                  cfg.tikhonov)
+    Hpp_inv, Hll_inv, S_off, rhs = schur_partials(a, prob, lam, cfg)
     dpose = solve_reduced(a.Hcc, S_off, rhs, lam, free)
     dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
     return dpose, dpoint, dline
@@ -494,7 +516,8 @@ def _mk_chunk(prob: BAProblem, T: jax.Array, x: dict) -> BAProblem:
 
 
 def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
-                          cfg: BAConfig = BAConfig()) -> BAResult:
+                          cfg: BAConfig = BAConfig(),
+                          axis_name: str | None = None) -> BAResult:
     """Global BA over ALL landmarks, tiled in fixed-shape chunks.
 
     ``prob`` carries a leading chunk axis C on every landmark/observation
@@ -506,9 +529,19 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
     equivalent of the reference's all-landmark GBA
     (mapHandler.cpp:3022-3126), restructured so each device program stays
     fixed-shape and MXU-friendly regardless of map size.
+
+    ``axis_name``: when running inside shard_map with the chunk axis
+    sharded over a mesh, name of the mesh axis to psum the reduced camera
+    system and costs over.  Every chunk must own its landmarks TOGETHER
+    WITH ALL their observations (landmark-disjoint chunks), which makes
+    the sharded solve algebraically identical to the single-device one —
+    the exact kf-block distributed GBA of parallel/dist_gba.py.
     """
     free = prob.pose_valid & ~prob.pose_fixed
     xs = _chunk_xs(prob)
+
+    def _allsum(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
 
     def cost_all(T, state, p_act, l_act, robust):
         def body(c, inp):
@@ -519,7 +552,7 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
         c, _ = jax.lax.scan(
             body, jnp.asarray(0.0, prob.points.dtype),
             (xs, state[0], state[1], p_act, l_act))
-        return c
+        return _allsum(c)
 
     def lm_iter(carry, _, robust):
         T, state, lam, cost, p_act, l_act = carry
@@ -531,7 +564,7 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             x, spts, sls, pa, la = inp
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
-            _, _, S_off, rhs = schur_partials(a, pr, lam, cfg.tikhonov)
+            _, _, S_off, rhs = schur_partials(a, pr, lam, cfg)
             Hcc_s, S_s, rhs_s = acc
             return (Hcc_s + a.Hcc, S_s + S_off, rhs_s + rhs), None
 
@@ -539,6 +572,9 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
                 jnp.zeros((K, 6), dtype))
         (Hcc, S_off, rhs), _ = jax.lax.scan(
             pass1, acc0, (xs, state[0], state[1], p_act, l_act))
+        Hcc = _allsum(Hcc)
+        S_off = _allsum(S_off)
+        rhs = _allsum(rhs)
         dpose = solve_reduced(Hcc, S_off, rhs, lam, free)
         T_new = jax.vmap(lambda d, Ti: lie.exp_se3(-d) @ Ti)(dpose, T)
 
@@ -548,7 +584,7 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
             Hpp_inv, _ = _damped_inv(a.Hpp, lam, pr.point_valid, 3,
-                                     cfg.tikhonov)
+                                     point_block_floor(pr, cfg))
             Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4,
                                      cfg.tikhonov)
             dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)
@@ -562,6 +598,7 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
         new_cost, (cand_pts, cand_ls) = jax.lax.scan(
             pass2, jnp.asarray(0.0, dtype), (xs, state[0], state[1],
                                              p_act, l_act))
+        new_cost = _allsum(new_cost)
         ok = (new_cost < cost) & jnp.isfinite(new_cost)
         sel = lambda new, old: jnp.where(  # noqa: E731
             jnp.reshape(ok, (1,) * new.ndim), new, old)

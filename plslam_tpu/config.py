@@ -120,7 +120,7 @@ class PLSLAMConfig:
     max_iters_lba: int = 15
     vocabulary_p: str = ""
     vocabulary_l: str = ""
-    vocab_refresh_kfs: int = 0  # retrain online vocab every N KFs (0 = once)
+    vocab_refresh_kfs: int = 50  # retrain online vocab every N KFs (0 = once)
     # checkpointing (not in the reference; SURVEY.md §5 restartability)
     checkpoint_every_kf: int = 0   # 0 = off
     checkpoint_dir: str = "checkpoints"

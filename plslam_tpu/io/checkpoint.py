@@ -28,7 +28,8 @@ def _obs_triples(table: _ObsTable) -> np.ndarray:
 
 
 def _restore_obs(triples: np.ndarray, n_lm: int):
-    """Rebuild a flat obs table + per-landmark row lists + obs counts."""
+    """Rebuild a flat obs table + obs counts (the per-landmark row index
+    is lazy inside _ObsTable)."""
     table = _ObsTable(max(1024, len(triples)))
     n = len(triples)
     if n:
@@ -37,12 +38,9 @@ def _restore_obs(triples: np.ndarray, n_lm: int):
         table.fi[:n] = triples[:, 2]
         table.valid[:n] = True
     table.n = n
-    rows_of: list[list[int]] = [[] for _ in range(n_lm)]
-    for r in range(n):
-        rows_of[int(triples[r, 0])].append(r)
     nobs = np.bincount(triples[:, 0], minlength=n_lm).astype(np.int64) \
         if n else np.zeros(n_lm, np.int64)
-    return table, rows_of, nobs
+    return table, nobs
 
 
 def _lc_state(lc) -> dict:
@@ -159,11 +157,9 @@ def load_map(path: str, mapper: MapHandler,
     mp._ls_valid = z["ls_valid"].copy()
     mp._ls_first_kf = z["ls_first_kf"].copy()
     mp._ls_last_kf = z["ls_last_kf"].copy()
-    mp.pobs, mp._pt_rows, nobs = _restore_obs(
-        z["pt_obs"].astype(np.int64), mp.n_pt)
+    mp.pobs, nobs = _restore_obs(z["pt_obs"].astype(np.int64), mp.n_pt)
     mp._pt_nobs = nobs
-    mp.lobs, mp._ls_rows, nobs = _restore_obs(
-        z["ls_obs"].astype(np.int64), mp.n_ls)
+    mp.lobs, nobs = _restore_obs(z["ls_obs"].astype(np.int64), mp.n_ls)
     mp._ls_nobs = nobs
     mp.keyframes = []
     for i in range(int(z["n_kf"])):

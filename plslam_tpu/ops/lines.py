@@ -201,7 +201,7 @@ def _merge_components(sp, ep, d, mass, valid, cfg: LineDetectorConfig) -> Segmen
     # Each round a node adopts the smallest label among its 1-hop
     # neighbors, then compresses label chains (root <- root[root]); the
     # hybrid converges in O(log N) rounds (worst case covered by a
-    # path-graph unit test in tests/test_lines.py).
+    # path-graph unit test in tests/test_detection.py).
     idx = jnp.arange(N, dtype=jnp.int32)
     root = idx
     for _ in range(np_ceil_log2(N) + 2):

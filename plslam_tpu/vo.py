@@ -165,6 +165,21 @@ def _match_and_track(kp_pair, seg_pair, state: VOState, cam: StereoCamera,
     return res, new_state
 
 
+def _fresh_state(feats: StereoFeatures, fast_th: float, dtype) -> VOState:
+    """Initial VOState (shared by initialize() and prewarm() so both build
+    the exact same jit signature)."""
+    I = jnp.eye(4, dtype=dtype)
+    Z = jnp.zeros((6, 6), dtype=dtype)
+    return VOState(
+        features=feats, T_f_w=I, T_f_w_cov=Z, T_prevKF=I,
+        cov_prevKF_accum=Z, entropy_first=jnp.asarray(-9.9e8, dtype),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        prev_was_kf=jnp.asarray(True),
+        fast_th=jnp.asarray(fast_th, jnp.float32),
+        prev_DT=I, prev_good=jnp.asarray(False),
+    )
+
+
 class VisualOdometry:
     """Host-side driver; all sequential state lives on device."""
 
@@ -212,17 +227,45 @@ class VisualOdometry:
 
     def initialize(self, img_l, img_r) -> StereoFeatures:
         feats = self._extract(img_l, img_r)
-        I = jnp.eye(4, dtype=self.dtype)
-        Z = jnp.zeros((6, 6), dtype=self.dtype)
-        self.state = VOState(
-            features=feats, T_f_w=I, T_f_w_cov=Z, T_prevKF=I,
-            cov_prevKF_accum=Z, entropy_first=jnp.asarray(-9.9e8, self.dtype),
-            frames_since_kf=jnp.asarray(0, jnp.int32),
-            prev_was_kf=jnp.asarray(True),
-            fast_th=jnp.asarray(self.fcfg.fast_th, jnp.float32),
-            prev_DT=I, prev_good=jnp.asarray(False),
-        )
+        self.state = _fresh_state(feats, self.fcfg.fast_th, self.dtype)
         return feats
+
+    def prewarm(self, img_shape, img_dtype=jnp.float32, progress=None):
+        """Compile the whole per-frame pipeline AHEAD of the first frame,
+        with the four programs (point detector, line detector, stereo
+        matcher, fused match+track) compiling CONCURRENTLY — XLA releases
+        the GIL, so the cold-cache wall drops from the sum of the four
+        compiles to roughly the slowest one.  Shapes come from
+        jax.eval_shape (no device work), so this costs zero FLOPs and
+        populates both the in-process executable cache and the persistent
+        compilation cache.  ``progress`` is an optional callable fed
+        one-line status strings (driver liveness)."""
+        import concurrent.futures as cf
+
+        say = progress or (lambda s: None)
+        imgs = jax.ShapeDtypeStruct((2, *img_shape), img_dtype)
+        th = jax.ShapeDtypeStruct((), jnp.float32)
+        kp = jax.eval_shape(self._det_pts, imgs, th)
+        seg = jax.eval_shape(self._det_ls, imgs)
+        feats = jax.eval_shape(self._match_pair, kp, seg)
+        state = jax.eval_shape(
+            lambda f: _fresh_state(f, self.fcfg.fast_th, self.dtype), feats)
+        jobs = [
+            ("point detector",
+             lambda: self._det_pts.lower(imgs, th).compile()),
+            ("line detector", lambda: self._det_ls.lower(imgs).compile()),
+            ("stereo matcher",
+             lambda: self._match_pair.lower(kp, seg).compile()),
+            ("match+track",
+             lambda: _match_and_track.lower(
+                 kp, seg, state, self.cam, self.fcfg, self.tcfg,
+                 self.params).compile()),
+        ]
+        with cf.ThreadPoolExecutor(len(jobs)) as ex:
+            futs = {ex.submit(fn): name for name, fn in jobs}
+            for f in cf.as_completed(futs):
+                f.result()
+                say(f"compiled: {futs[f]}")
 
     def process(self, img_l, img_r) -> FrameResult:
         """Track one new stereo pair (3 device dispatches, no host sync).

@@ -38,6 +38,28 @@ jax.config.update("jax_default_device", _cpus[0])
 # ---------------------------------------------------------------------------
 import inspect
 
+import pytest
+
+# ---------------------------------------------------------------------------
+# Tier split (fast core vs slow e2e): `pytest -m "not slow"` is the
+# per-commit loop; the full pyramid runs the slow tier too.  Slow modules
+# are the e2e / distribution / threaded-pipeline suites whose compile +
+# multi-frame walls dominate total suite time.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_scale_e2e", "test_slam_e2e", "test_vo_e2e", "test_batch_vo",
+    "test_pipeline_threads", "test_slam_endpoint_mode", "test_rgbd",
+    "test_dist_gba", "test_dist_ba", "test_dist_match_pgo", "test_loop",
+    "test_cli", "test_ba_endpoint", "test_multihost", "test_loop_stress",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 from plslam_tpu.core import lie as _lie
 from plslam_tpu.core import plucker as _plucker
 from plslam_tpu.core import robust as _robust

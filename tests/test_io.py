@@ -139,3 +139,39 @@ def test_reference_euroc_camera_params_load():
     assert calib.fx > 0 and calib.baseline > 0
     assert not calib.identity_maps          # EuRoC form builds remap grids
     assert calib.map_l[0].shape == (calib.height, calib.width)
+
+
+def test_repo_configs_self_contained():
+    """The repo ships its own run + dataset YAMLs (configs/), regenerated
+    through the library's loader (scripts/mirror_reference_configs.py) —
+    loading them must not require /root/reference, and when the reference
+    is present the loaded values must agree with its originals."""
+    import glob
+    import os
+
+    from plslam_tpu.config import PLSLAMConfig
+    from plslam_tpu.io.euroc import load_euroc_calib
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    run_cfgs = sorted(glob.glob(os.path.join(root, "config*.yaml")))
+    assert len(run_cfgs) >= 6
+    for p in run_cfgs:
+        cfg = PLSLAMConfig.from_yaml(p)
+        assert cfg.orb_nfeatures > 0
+        ref = os.path.join("/root/reference/config/config",
+                           os.path.basename(p))
+        if os.path.exists(ref):
+            assert cfg == PLSLAMConfig.from_yaml(ref), p
+    cams = [p for p in sorted(glob.glob(os.path.join(root, "*.yaml")))
+            if not os.path.basename(p).startswith("config")]
+    assert len(cams) >= 6
+    for p in cams:
+        calib = load_euroc_calib(p)
+        assert calib.fx > 0 and calib.baseline > 0
+        ref = os.path.join("/root/reference/config/dataset_params",
+                           os.path.basename(p))
+        if os.path.exists(ref):
+            rc = load_euroc_calib(ref)
+            assert (calib.fx, calib.fy, calib.cx, calib.cy,
+                    calib.baseline) == (rc.fx, rc.fy, rc.cx, rc.cy,
+                                        rc.baseline), p
