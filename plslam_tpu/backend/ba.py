@@ -356,14 +356,25 @@ def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
     """Landmark-marginalized partial contributions to the reduced camera
     system: S_off = -W Hll^-1 W^T and rhs = bc - W Hll^-1 b.  These are
     linear in the observation set, so chunked/sharded assemblies sum them
-    (the distributed Schur reduction of SURVEY.md §2.4)."""
+    (the distributed Schur reduction of SURVEY.md §2.4).
+
+    Precision HIGHEST on the marginalization einsums: the default TPU
+    matmul's bf16 passes wreck the Schur correction (measured: the LM
+    stalls at cost 204 vs 0.056 with exact f32 on an otherwise identical
+    solve) — Hessian-level accuracy needs full f32, the same lesson as
+    _accumulate."""
+    hi = jax.lax.Precision.HIGHEST
     Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3,
                              point_block_floor(prob, cfg))
     Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, cfg.tikhonov)
-    S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
-    S_off = S_off - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
-    rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
-    rhs = rhs - jnp.einsum("klab,lbc,lc->ka", a.Wl, Hll_inv, a.bl)
+    S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp,
+                        precision=hi)
+    S_off = S_off - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl,
+                               precision=hi)
+    rhs = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp,
+                            precision=hi)
+    rhs = rhs - jnp.einsum("klab,lbc,lc->ka", a.Wl, Hll_inv, a.bl,
+                           precision=hi)
     return Hpp_inv, Hll_inv, S_off, rhs
 
 
@@ -390,16 +401,28 @@ def solve_reduced(Hcc: jax.Array, S_off: jax.Array, rhs: jax.Array,
     Smat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     # gauge regularization for safety
     Smat = Smat + 1e-10 * jnp.eye(6 * K, dtype=dtype)
-    dpose = linalg.solve_spd(Smat, rhs.reshape(-1)).reshape(K, 6)
+    b = rhs.reshape(-1)
+    x = linalg.solve_spd(Smat, b)
+    # one step of iterative refinement: the reduced system's conditioning
+    # (~1e6 on large maps) is at the edge of f32 Cholesky — the raw
+    # solution's residual error is summation-order dependent (the same
+    # problem solved as one 4096-landmark einsum vs 8 psum'd shards gave
+    # visibly different LM steps on some hosts); refinement recovers
+    # several digits for one extra cheap 6Kx6K solve and makes chunked,
+    # sharded, and single-device paths agree again
+    x = x + linalg.solve_spd(Smat, b - Smat @ x)
+    dpose = x.reshape(K, 6)
     return dpose * fmask[:, None]
 
 
 def back_substitute(a: _Assembled, Hpp_inv, Hll_inv, dpose, cfg: BAConfig):
-    """Landmark back-substitution dx = Hll^-1 (b - W^T dpose)."""
-    tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose)
-    dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp)
-    tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose)
-    dline = jnp.einsum("lbc,lc->lb", Hll_inv, tl)
+    """Landmark back-substitution dx = Hll^-1 (b - W^T dpose)
+    (precision HIGHEST — see schur_partials)."""
+    hi = jax.lax.Precision.HIGHEST
+    tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose, precision=hi)
+    dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp, precision=hi)
+    tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose, precision=hi)
+    dline = jnp.einsum("lbc,lc->lb", Hll_inv, tl, precision=hi)
     if not cfg.optimize_points:
         dpoint = jnp.zeros_like(dpoint)
     if not cfg.optimize_lines:

@@ -124,6 +124,12 @@ class PLSLAMConfig:
     # checkpointing (not in the reference; SURVEY.md §5 restartability)
     checkpoint_every_kf: int = 0   # 0 = off
     checkpoint_dir: str = "checkpoints"
+    # live scene export: rewrite a self-contained WebGL HTML of the map
+    # every N keyframes (slamScene updateSceneSafe per-KF cadence,
+    # src/slamScene.cpp — a growing file the user can reload mid-run,
+    # the batch-environment analog of the MRPT live window).  0 = off.
+    viz_every_kf: int = 0
+    viz_path: str = "scene.html"
 
     lc_res: float = 1.0
     lc_unc: float = 0.01

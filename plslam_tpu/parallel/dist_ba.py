@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..backend import ba as ba_mod
-from ..core import lie, linalg
+from ..core import lie
 from ..core.camera import StereoCamera
 from ..core.plucker import orth_plus
 
@@ -42,48 +42,48 @@ def _local_assemble(prob: ba_mod.BAProblem, cam: StereoCamera,
     Hll_inv, _ = ba_mod._damped_inv(a.Hll, lam, prob.line_valid, 4,
                                     cfg.tikhonov)
 
+    # precision HIGHEST: bf16 matmul passes wreck Hessian-level accuracy
+    # (see ba.schur_partials)
+    hi = jax.lax.Precision.HIGHEST
     S_partial = jnp.zeros((K, K, 6, 6), dtype)
-    S_partial = S_partial - jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp)
-    S_partial = S_partial - jnp.einsum("klab,lbc,qldc->kqad", a.Wl, Hll_inv, a.Wl)
-    rhs_partial = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv, a.bp)
-    rhs_partial = rhs_partial - jnp.einsum("klab,lbc,lc->ka", a.Wl, Hll_inv, a.bl)
+    S_partial = S_partial - jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp,
+                                       Hpp_inv, a.Wp, precision=hi)
+    S_partial = S_partial - jnp.einsum("klab,lbc,qldc->kqad", a.Wl,
+                                       Hll_inv, a.Wl, precision=hi)
+    rhs_partial = a.bc - jnp.einsum("kpab,pbc,pc->ka", a.Wp, Hpp_inv,
+                                    a.bp, precision=hi)
+    rhs_partial = rhs_partial - jnp.einsum("klab,lbc,lc->ka", a.Wl,
+                                           Hll_inv, a.bl, precision=hi)
     return a, Hpp_inv, Hll_inv, S_partial, rhs_partial
 
 
-def _dist_lm_iteration(prob, cam, cfg, lam, p_active, l_active):
-    """One distributed LM iteration (runs under shard_map)."""
+def _dist_lm_iteration(prob, cam, cfg, lam, p_active, l_active,
+                       axes=AXIS):
+    """One distributed LM iteration (runs under shard_map).  ``axes`` is
+    the mesh axis (or axis tuple, e.g. ("dcn", "ici") for the multi-host
+    layout of parallel/multihost.py) the reduced system is psum'd over."""
     a, Hpp_inv, Hll_inv, S_partial, rhs_partial = _local_assemble(
         prob, cam, cfg, lam, p_active, l_active)
-    K = a.Hcc.shape[0]
-    dtype = a.Hcc.dtype
-    # combine partial camera blocks across shards (the ICI reduction)
-    Hcc = jax.lax.psum(a.Hcc, AXIS)
-    S = jax.lax.psum(S_partial, AXIS)
-    rhs = jax.lax.psum(rhs_partial, AXIS)
-    I6 = jnp.eye(6, dtype=dtype)
-    Hcc_d = Hcc + lam * Hcc * I6
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
-
+    # combine partial camera blocks across shards (the ICI reduction; on a
+    # 2-axis mesh XLA lowers the multi-axis psum hierarchically — ICI
+    # within a host first, DCN across hosts on the reduced data), then the
+    # SAME damped/refined reduced solve as the single-device path
+    Hcc = jax.lax.psum(a.Hcc, axes)
+    S_off = jax.lax.psum(S_partial, axes)
+    rhs = jax.lax.psum(rhs_partial, axes)
     free = prob.pose_valid & ~prob.pose_fixed
-    fmask = free.astype(dtype)
-    S = S * fmask[:, None, None, None] * fmask[None, :, None, None]
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(I6 * (1.0 - fmask)[:, None, None])
-    rhs = rhs * fmask[:, None]
+    dpose = ba_mod.solve_reduced(Hcc, S_off, rhs, lam, free)
 
-    Smat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    Smat = Smat + 1e-10 * jnp.eye(6 * K, dtype=dtype)
-    dpose = linalg.solve_spd(Smat, rhs.reshape(-1)).reshape(K, 6)
-    dpose = dpose * fmask[:, None]
-
-    # local landmark back-substitution
-    tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose)
-    dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp)
-    tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose)
-    dline = jnp.einsum("lbc,lc->lb", Hll_inv, tl)
+    # local landmark back-substitution (precision: see above)
+    hi = jax.lax.Precision.HIGHEST
+    tp = a.bp - jnp.einsum("kpab,ka->pb", a.Wp, dpose, precision=hi)
+    dpoint = jnp.einsum("pbc,pc->pb", Hpp_inv, tp, precision=hi)
+    tl = a.bl - jnp.einsum("klab,ka->lb", a.Wl, dpose, precision=hi)
+    dline = jnp.einsum("lbc,lc->lb", Hll_inv, tl, precision=hi)
     return dpose, dpoint, dline
 
 
-def _dist_cost(prob, cam, cfg, p_active, l_active):
+def _dist_cost(prob, cam, cfg, p_active, l_active, axes=AXIS):
     """Cauchy cost, matching assemble()'s IRLS weights (the LM
     accept/reject test must use the same objective the step minimized)."""
     e_p, _, _ = ba_mod.point_obs_residuals(prob, cam)
@@ -92,29 +92,39 @@ def _dist_cost(prob, cam, cfg, p_active, l_active):
                           ba_mod.cauchy_cost(e_p) * prob.p_sigma2, 0.0))
     c = c + jnp.sum(jnp.where(l_active,
                               ba_mod.cauchy_cost(e_l) * prob.l_sigma2, 0.0))
-    return jax.lax.psum(c, AXIS)
+    return jax.lax.psum(c, axes)
+
+
+def problem_specs(axes=AXIS) -> ba_mod.BAProblem:
+    """Per-leaf PartitionSpecs: replicated poses + validity, landmark/obs
+    leaves sharded along ``axes`` (an axis name or tuple for multi-axis
+    meshes)."""
+    return ba_mod.BAProblem(
+        T_c_w=P(), pose_fixed=P(), pose_valid=P(),
+        points=P(axes), point_valid=P(axes),
+        lines_orth=P(axes), lines_scale=P(axes), line_valid=P(axes),
+        p_cam=P(axes), p_lm=P(axes), p_uv=P(axes), p_sigma2=P(axes),
+        p_valid=P(axes),
+        l_cam=P(axes), l_lm=P(axes), l_sobs=P(axes), l_eobs=P(axes),
+        l_sigma2=P(axes), l_valid=P(axes),
+    )
 
 
 def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
-                            cfg: ba_mod.BAConfig, iters: int = 10):
+                            cfg: ba_mod.BAConfig, iters: int = 10,
+                            axes=AXIS):
     """Build the jitted shard_map BA step for a given mesh.
 
     The returned function takes a BAProblem whose landmark/observation
     arrays are sharded along their leading axis (use
     ``shard_problem(mesh, prob)``) and runs ``iters`` accepted/rejected LM
-    iterations of the distributed Schur solve.
+    iterations of the distributed Schur solve.  ``axes`` names the mesh
+    axis — or axis tuple, for the 2-axis (host x device) multi-host mesh
+    of parallel/multihost.py — the landmark dimension is sharded over.
     """
 
     # replicated leaves: poses + validity; sharded leaves: landmarks + obs
-    pspec = ba_mod.BAProblem(
-        T_c_w=P(), pose_fixed=P(), pose_valid=P(),
-        points=P(AXIS), point_valid=P(AXIS),
-        lines_orth=P(AXIS), lines_scale=P(AXIS), line_valid=P(AXIS),
-        p_cam=P(AXIS), p_lm=P(AXIS), p_uv=P(AXIS), p_sigma2=P(AXIS),
-        p_valid=P(AXIS),
-        l_cam=P(AXIS), l_lm=P(AXIS), l_sobs=P(AXIS), l_eobs=P(AXIS),
-        l_sigma2=P(AXIS), l_valid=P(AXIS),
-    )
+    pspec = problem_specs(axes)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(pspec,),
@@ -123,18 +133,18 @@ def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
         p_active = prob.p_valid
         l_active = prob.l_valid
         lam0 = jnp.asarray(cfg.lambda_init, prob.points.dtype)
-        cost0 = _dist_cost(prob, cam, cfg, p_active, l_active)
+        cost0 = _dist_cost(prob, cam, cfg, p_active, l_active, axes)
 
         def body(carry, _):
             prob, lam, cost = carry
             dpose, dpoint, dline = _dist_lm_iteration(
-                prob, cam, cfg, lam, p_active, l_active)
+                prob, cam, cfg, lam, p_active, l_active, axes)
             T_new = jax.vmap(lambda d, T: lie.exp_se3(-d) @ T)(dpose, prob.T_c_w)
             cand = prob._replace(
                 T_c_w=T_new,
                 points=prob.points - dpoint,
                 lines_orth=jax.vmap(orth_plus)(prob.lines_orth, -dline))
-            new_cost = _dist_cost(cand, cam, cfg, p_active, l_active)
+            new_cost = _dist_cost(cand, cam, cfg, p_active, l_active, axes)
             ok = (new_cost < cost) & jnp.isfinite(new_cost)
             prob = jax.tree.map(
                 lambda new, old: jnp.where(
@@ -151,33 +161,15 @@ def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
     return jax.jit(run)
 
 
-def shard_problem(mesh: Mesh, prob: ba_mod.BAProblem) -> ba_mod.BAProblem:
+def shard_problem(mesh: Mesh, prob: ba_mod.BAProblem,
+                  axes=AXIS) -> ba_mod.BAProblem:
     """Device_put each leaf with its distributed sharding.  Landmark slot
     indices (p_lm / l_lm) must already be *shard-local* (host assembly
     groups observations by landmark shard)."""
-    n = mesh.devices.size
+    specs = problem_specs(axes)
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return (None if x is None
+                else jax.device_put(x, NamedSharding(mesh, spec)))
 
-    return ba_mod.BAProblem(
-        T_c_w=put(prob.T_c_w, P()),
-        pose_fixed=put(prob.pose_fixed, P()),
-        pose_valid=put(prob.pose_valid, P()),
-        points=put(prob.points, P(AXIS)),
-        point_valid=put(prob.point_valid, P(AXIS)),
-        lines_orth=put(prob.lines_orth, P(AXIS)),
-        lines_scale=put(prob.lines_scale, P(AXIS)),
-        line_valid=put(prob.line_valid, P(AXIS)),
-        p_cam=put(prob.p_cam, P(AXIS)),
-        p_lm=put(prob.p_lm, P(AXIS)),
-        p_uv=put(prob.p_uv, P(AXIS)),
-        p_sigma2=put(prob.p_sigma2, P(AXIS)),
-        p_valid=put(prob.p_valid, P(AXIS)),
-        l_cam=put(prob.l_cam, P(AXIS)),
-        l_lm=put(prob.l_lm, P(AXIS)),
-        l_sobs=put(prob.l_sobs, P(AXIS)),
-        l_eobs=put(prob.l_eobs, P(AXIS)),
-        l_sigma2=put(prob.l_sigma2, P(AXIS)),
-        l_valid=put(prob.l_valid, P(AXIS)),
-    )
+    return jax.tree.map(put, prob, specs)

@@ -185,32 +185,34 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         plucker=plucker)
 
 
-def _problem_specs(endpoint_lines: bool) -> ba_mod.BAProblem:
+def _problem_specs(endpoint_lines: bool, axes=AXIS) -> ba_mod.BAProblem:
     """Per-leaf PartitionSpecs: pose leaves replicated, chunk leaves
-    sharded along the kf axis; p_lo/p_is_line exist only in endpoint
-    mode (must be None — not a spec leaf — otherwise)."""
+    sharded along the kf axis (or axis tuple for the multi-host mesh);
+    p_lo/p_is_line exist only in endpoint mode (must be None — not a
+    spec leaf — otherwise)."""
     none_fields = () if endpoint_lines else ("p_lo", "p_is_line")
     return ba_mod.BAProblem(**{
         f: (None if f in none_fields else
-            (P() if f in _POSE_FIELDS else P(AXIS)))
+            (P() if f in _POSE_FIELDS else P(axes)))
         for f in ba_mod.BAProblem._fields})
 
 
 def make_kf_block_gba(mesh: Mesh, cam: StereoCamera,
                       cfg: ba_mod.BAConfig,
-                      endpoint_lines: bool = False):
+                      endpoint_lines: bool = False, axes=AXIS):
     """Jitted shard_map program: the chunked two-round Schur GBA
     (backend/ba.py bundle_adjust_chunked) with its chunk axis sharded over
     the mesh and the reduced camera system / LM costs psum-combined —
-    algebraically identical to the single-chip solve."""
-    pspec = _problem_specs(endpoint_lines)
+    algebraically identical to the single-chip solve.  ``axes``: mesh axis
+    name or tuple (multi-host: ("dcn", "ici"), parallel/multihost.py)."""
+    pspec = _problem_specs(endpoint_lines, axes)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(pspec,),
-        out_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(axes), P(axes), P(axes), P(axes), P(axes)),
         check_vma=False)
     def run(prob: ba_mod.BAProblem):
-        res = ba_mod.bundle_adjust_chunked(prob, cam, cfg, axis_name=AXIS)
+        res = ba_mod.bundle_adjust_chunked(prob, cam, cfg, axis_name=axes)
         return (res.problem.T_c_w, res.problem.points,
                 res.problem.lines_orth, res.problem.lines_scale,
                 res.p_active, res.l_active)
@@ -219,19 +221,24 @@ def make_kf_block_gba(mesh: Mesh, cam: StereoCamera,
 
 
 def distributed_global_bundle_adjustment(mapper, mesh: Mesh,
-                                         rounds: int = 2):
+                                         rounds: int = 2, axes=None):
     """Run the kf-block sharded GBA on a mesh and write results back into
     the map (poses, points, lines) — same write-back path as the
     single-chip ``global_bundle_adjustment`` (including chi^2-gated
     observation pruning).  ``rounds`` is accepted for API compatibility
-    but unused: the sharded solve is exact, not an iterated consensus."""
+    but unused: the sharded solve is exact, not an iterated consensus.
+    ``axes`` defaults to all of the mesh's axis names (so a 2-axis
+    host x device mesh shards chunks over both and psums hierarchically)."""
     del rounds
+    if axes is None:
+        axes = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+                else tuple(mesh.axis_names))
     n_blocks = mesh.devices.size
     blk = partition_map(mapper, n_blocks)
     run = make_kf_block_gba(mesh, mapper.cam, mapper.ba_cfg,
-                            endpoint_lines=not blk.plucker)
+                            endpoint_lines=not blk.plucker, axes=axes)
 
-    specs = _problem_specs(not blk.plucker)
+    specs = _problem_specs(not blk.plucker, axes)
 
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))

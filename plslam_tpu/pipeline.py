@@ -156,6 +156,18 @@ class PLSLAM:
         # keyframe's association (one combined sync), the pipeline analog
         # of the reference's LBA thread lag (mapHandler.cpp:1251-1300)
         self.mapper.add_keyframe(pose, feats, defer_ba=True)
+        if (self.config.viz_every_kf > 0
+                and len(self.mapper.map.keyframes)
+                % self.config.viz_every_kf == 0):
+            # live scene export at KF cadence (slamScene updateSceneSafe
+            # analog): rewrite the self-contained HTML; runs on the
+            # mapping worker so it never blocks tracking
+            from .viz_scene import export_scene_html
+
+            try:
+                export_scene_html(self.mapper, self.config.viz_path)
+            except Exception:   # viz must never kill the mapping worker
+                pass
         if self.loop_closer is not None:
             kf_id = len(self.mapper.map.keyframes) - 1
             if self._lc_queue is not None:
@@ -286,10 +298,10 @@ class PLSLAM:
 
         Single-chip: tiled in fixed-shape landmark chunks with accumulated
         Schur reduction.  With a multi-device ``jax.sharding.Mesh``: the
-        trajectory is partitioned into keyframe blocks (sequence/\"SP\"
-        axis, BASELINE config 5), each device solves its block and shared
-        landmarks reach consensus by psum between rounds
-        (parallel/dist_gba.py)."""
+        same chunked solve sharded over the mesh along the keyframe-block
+        (sequence/"SP") axis, psum-combining the reduced camera system per
+        LM iteration — algebraically identical to the single-chip solve
+        (parallel/dist_gba.py, BASELINE config 5)."""
         if mesh is not None and mesh.devices.size > 1:
             from .parallel.dist_gba import (
                 distributed_global_bundle_adjustment)

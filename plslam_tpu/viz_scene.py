@@ -28,19 +28,11 @@ def _scene_data(mapper, gt=None, max_points: int = 20000) -> dict:
     if len(pts) > max_points:
         pts = pts[np.linspace(0, len(pts) - 1, max_points).astype(int)]
 
-    # line landmarks: draw the segment observed by the last observing KF,
-    # lifted to world (same convention as viz.plot_map)
-    segs = []
-    ls_obs = m.ls_obs
-    for i in range(len(m.ls_valid)):
-        if not m.ls_valid[i] or not ls_obs[i]:
-            continue
-        kf_id, fi = ls_obs[i][-1]
-        rec = m.keyframes[kf_id]
-        T = rec.T_w_k
-        sp = T[:3, :3] @ rec.ls_sP[fi] + T[:3, 3]
-        ep = T[:3, :3] @ rec.ls_eP[fi] + T[:3, 3]
-        segs.append([sp.tolist(), ep.tolist()])
+    # line landmarks: the map maintains world endpoints (ls_epw, snapped
+    # onto the BA-optimized line by the write-back) — one vectorized
+    # gather instead of lifting each last observation in Python
+    lsel = np.asarray(m.ls_valid) & (np.asarray(m.ls_nobs) > 0)
+    segs = np.asarray(m.ls_epw)[lsel].round(4).tolist()
 
     kf_T = [k.T_w_k[:3].tolist() for k in m.keyframes if k.active]
     kf_ids = [k.id for k in m.keyframes if k.active]

@@ -137,13 +137,37 @@ class RingWorld:
         return T
 
 
+_RING_DESC_RNG = np.random.default_rng(1234)
+
+
+def _desc_noise(desc: np.ndarray, n_bits: int) -> np.ndarray:
+    """Flip ``n_bits`` random bits per 256-bit descriptor — real binary
+    descriptors vary a few bits between sightings of the same feature.
+    Without this, identical descriptors saturate BoW scores at the exact
+    revisit KF (score 2.0) while neighbors stay far below the
+    0.8*best temporal-support bar (lookForLoopCandidates :4286), so a
+    SHARP vocabulary paradoxically kills every loop candidate."""
+    if n_bits <= 0 or not len(desc):
+        return desc
+    out = desc.copy()
+    words = _RING_DESC_RNG.integers(0, 8, (len(desc), n_bits))
+    bits = _RING_DESC_RNG.integers(0, 32, (len(desc), n_bits))
+    for j in range(n_bits):
+        out[np.arange(len(desc)), words[:, j]] ^= (
+            np.uint32(1) << bits[:, j].astype(np.uint32))
+    return out
+
+
 def render_ring_features(world: RingWorld, T_w_c: np.ndarray,
                          cam: StereoCamera, cap_pt: int = 160,
-                         cap_ls: int = 24) -> StereoFeatures:
+                         cap_ls: int = 24,
+                         desc_noise_bits: int = 6) -> StereoFeatures:
     """Project the ring world into the camera and keep the ``cap`` features
     closest to the image center, padded to fixed capacity.  Feature slot ->
     world-id association changes per KF, so descriptor matching does real
-    work (unlike render_features' fixed slots)."""
+    work (unlike render_features' fixed slots).  Each sighting's
+    descriptor gets ``desc_noise_bits`` random bit flips (see
+    _desc_noise)."""
     T_c_w = np.linalg.inv(T_w_c)
     R, t = T_c_w[:3, :3], T_c_w[:3, 3]
     fx, fy = float(cam.fx), float(cam.fy)
@@ -170,7 +194,7 @@ def render_ring_features(world: RingWorld, T_w_c: np.ndarray,
     p_disp = np.ones(cap_pt, np.float32)
     p_uv[:n] = uv[sel]
     p_P[:n] = Pc[sel]
-    p_desc[:n] = world.pt_desc[sel]
+    p_desc[:n] = _desc_noise(world.pt_desc[sel], desc_noise_bits)
     p_disp[:n] = fx * bl / np.maximum(Pc[sel, 2], 1e-9)
     pts = PointSet(
         uv=jnp.asarray(p_uv), disp=jnp.asarray(p_disp), P=jnp.asarray(p_P),
@@ -202,7 +226,7 @@ def render_ring_features(world: RingWorld, T_w_c: np.ndarray,
         l_le[:m] = le
         l_nd[:m] = np.concatenate([np.cross(aC[lsel], bC[lsel]),
                                    bC[lsel] - aC[lsel]], axis=-1)
-        l_desc[:m] = world.ls_desc[lsel]
+        l_desc[:m] = _desc_noise(world.ls_desc[lsel], desc_noise_bits)
     ang = np.arctan2(l_ep[:, 1] - l_sp[:, 1], l_ep[:, 0] - l_sp[:, 0])
     lines = LineSet(
         sp=jnp.asarray(l_sp), ep=jnp.asarray(l_ep),

@@ -382,3 +382,70 @@ def test_plucker_ba_keeps_epw_on_optimized_line():
         x = mp.ls_epw[ids][:, k]
         dist = np.linalg.norm(np.cross(x, d) - nn, axis=-1)
         assert dist.max() < 1e-6, dist.max()
+
+
+def _rowpair_covis(mp):
+    """Exact covis invariant: ordered pairs of distinct live rows of the
+    same landmark with distinct keyframes (merges can leave one KF with
+    two rows of a landmark, which counts per ROW — the reference's
+    per-shared-feature increments, mapHandler.cpp:349-350)."""
+    k = len(mp.keyframes)
+    exp = np.zeros((k, k), np.int64)
+    for table in (mp.pobs, mp.lobs):
+        live = np.where(table.valid[: table.n])[0]
+        lms = table.lm[live]
+        kfs = table.kf[live]
+        for lm in np.unique(lms):
+            kk = kfs[lms == lm]
+            for i in range(len(kk)):
+                for j in range(len(kk)):
+                    if i != j and kk[i] != kk[j]:
+                        exp[kk[i], kk[j]] += 1
+    return exp
+
+
+def test_batched_maintenance_keeps_covis_invariant():
+    """Randomized removal / merge / KF-drop sequences must keep the covis
+    matrix equal to its from-scratch recomputation (the batched pair
+    arithmetic of the lazy-indexed obs table vs the r3 per-row loops)."""
+    mapper, _, _ = _build_mapper(n_kf=7, n_pts=150, n_ls=14)
+    mp = mapper.map
+    rng = np.random.default_rng(3)
+    np.testing.assert_array_equal(mp.covis, _rowpair_covis(mp))
+    for step in range(6):
+        tb = mp.pobs
+        live = np.where(tb.valid[: tb.n])[0]
+        if len(live) > 5:
+            mp.remove_point_obs_rows(rng.choice(live, 5, replace=False))
+        lt = mp.lobs
+        live_l = np.where(lt.valid[: lt.n])[0]
+        if len(live_l) > 2:
+            mp.remove_line_obs_rows(rng.choice(live_l, 2, replace=False))
+        lp = np.where(mp.pt_valid)[0]
+        if len(lp) > 4:
+            keep, kill = rng.choice(lp, 2, replace=False)
+            mp.merge_point_landmarks(int(keep), int(kill))
+        if step == 3:
+            mp.drop_keyframe_obs(2)
+        np.testing.assert_array_equal(mp.covis, _rowpair_covis(mp),
+                                      err_msg=f"step {step}")
+    # nobs stays in sync with live rows per landmark
+    tb = mp.pobs
+    cnt = np.bincount(tb.lm[: tb.n][tb.valid[: tb.n]], minlength=mp.n_pt)
+    assert (mp.pt_nobs[mp.pt_valid] == cnt[np.where(mp.pt_valid)[0]]).all()
+
+
+def test_kf_drop_rebases_landmark_ownership():
+    """Landmarks anchored (first_kf) at a dropped keyframe are handed to
+    their oldest surviving observer (removeRedundantKFs :3983-4009)."""
+    mapper, _, _ = _build_mapper(n_kf=5, n_pts=120, n_ls=12)
+    mp = mapper.map
+    owned = np.where(mp.pt_valid & (mp.pt_first_kf == 0)
+                     & (mp.pt_nobs >= 2))[0]
+    assert len(owned) > 0
+    mp.drop_keyframe_obs(0)
+    for lm in owned[:20]:
+        kfs, _ = mp.point_obs(int(lm))
+        if len(kfs):
+            assert mp.pt_first_kf[lm] == kfs.min()
+            assert mp.pt_first_kf[lm] != 0

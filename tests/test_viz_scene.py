@@ -56,3 +56,32 @@ def test_scene_html_is_selfcontained(tmp_path):
     assert m, "embedded DATA blob missing"
     data = json.loads(m.group(1))
     assert data["kf_T"] and data["points"]
+
+
+def test_live_scene_export_at_kf_cadence(tmp_path):
+    """viz_every_kf rewrites the scene HTML from the mapping worker at KF
+    cadence (slamScene updateSceneSafe analog for a batch environment)."""
+    from _map_fixtures import World, lateral_poses, make_camera, \
+        render_features
+    from plslam_tpu.config import PLSLAMConfig
+    from plslam_tpu.pipeline import PLSLAM
+
+    cam = make_camera()
+    world = World(n_pts=80, n_ls=8, seed=2)
+    out = str(tmp_path / "live.html")
+    cfg = PLSLAMConfig(multithread_slam=False, viz_every_kf=2,
+                       viz_path=out)
+    slam = PLSLAM(cam, cfg)
+    poses = lateral_poses(5, step=0.04)
+    slam.insert_keyframe_features(poses[0],
+                                  render_features(world, poses[0], cam))
+    import os
+
+    sizes = []
+    for T in poses[1:]:
+        slam.insert_keyframe_features(T, render_features(world, T, cam))
+        if os.path.exists(out):
+            sizes.append(os.path.getsize(out))
+    assert sizes, "live scene file was never written"
+    html = open(out).read()
+    assert "const DATA" in html

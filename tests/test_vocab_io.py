@@ -67,3 +67,25 @@ def test_nonuniform_tree_loads():
         assert v[0] > 0          # zero-descriptor word
         assert v[2] > 0          # chained shallow leaf under node 2
         assert abs(v.sum() - 1.0) < 1e-6
+
+
+def test_shipped_pretrained_vocabularies_load_and_score():
+    """The repo ships small pretrained vocabularies
+    (scripts/train_vocabulary.py -> configs/vocab_*_k10L3.yml.gz) as the
+    loop closer's cold-start fallback; they must load through the DBoW2
+    interchange reader and produce normalized BoW vectors."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "vocab_*_k10L3.yml.gz")))
+    assert len(paths) == 2, paths
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8),
+                                 dtype=np.uint64).astype(np.uint32))
+    for p in paths:
+        voc = V.load_dbow2_vocabulary(p)
+        assert voc.num_words == 1000
+        v = np.asarray(V.transform(voc, q, jnp.ones(64, bool)))
+        assert v.shape == (1000,)
+        assert abs(v.sum() - 1.0) < 1e-5
+        assert (v > 0).sum() >= 8     # queries spread over many words
