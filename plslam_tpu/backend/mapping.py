@@ -202,6 +202,29 @@ class _ObsTable:
     def invalidate(self):
         self._order = None
 
+    def _idx_insert(self, rows: np.ndarray):
+        """Merge new live rows into the sorted index (one O(total) memcpy
+        via np.insert instead of a full argsort rebuild — the argsort was
+        the dominant per-KF host cost at 1000-KF scale)."""
+        if self._order is None or not len(rows):
+            return
+        tlm = self.lm[rows]
+        t_order = np.argsort(tlm, kind="stable")
+        rows, tlm = rows[t_order], tlm[t_order]
+        # 'right': new rows append AFTER existing equals (insertion order)
+        pos = np.searchsorted(self._olm, tlm, "right")
+        self._order = np.insert(self._order, pos, rows)
+        self._olm = np.insert(self._olm, pos, tlm)
+
+    def _idx_remove(self, rows: np.ndarray):
+        if self._order is None or not len(rows):
+            return
+        rm = np.zeros(self.n, bool)
+        rm[rows] = True
+        keep = ~rm[self._order]
+        self._order = self._order[keep]
+        self._olm = self._olm[keep]
+
     def _index(self):
         if self._order is None:
             live = np.where(self.valid[: self.n])[0]
@@ -244,7 +267,7 @@ class _ObsTable:
         self.fi[rows] = fis
         self.valid[rows] = True
         self.n = need
-        self.invalidate()
+        self._idx_insert(rows)
         return rows
 
 
@@ -262,7 +285,10 @@ class SlamMap:
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
         self.keyframes: list[KeyframeRecord] = []
-        self.covis = np.zeros((0, 0), np.int32)
+        # covis lives in a capacity-doubling square buffer exposed as a
+        # (K, K) view — per-KF expandGraphs is O(1) amortized instead of
+        # an O(K^2) reallocation every keyframe
+        self._covis_buf = np.zeros((16, 16), np.int32)
         # point landmarks
         self.n_pt = 0
         self._pt_w = np.zeros((self._PT_CAP0, 3))
@@ -381,16 +407,20 @@ class SlamMap:
 
     def _covis_pairs(self, a: np.ndarray, b: np.ndarray, delta: int):
         """covis[a_i, b_i] += delta and covis[b_i, a_i] += delta for every
-        pair, batched through ONE bincount (pairs with a == b dropped,
-        matching _covis_delta's self-exclusion)."""
+        pair, compacted to unique pairs (pairs with a == b dropped,
+        matching _covis_delta's self-exclusion).  No K^2 temporaries."""
         m = a != b
         a, b = a[m], b[m]
         if not len(a):
             return
         K = self.covis.shape[0]
-        d = np.bincount(a * K + b, minlength=K * K).reshape(K, K)
-        d = (d * delta).astype(np.int32)
-        self.covis += d + d.T
+        uk, cnt = np.unique(a.astype(np.int64) * K + b, return_counts=True)
+        ai = (uk // K).astype(np.int64)
+        bi = (uk % K).astype(np.int64)
+        d = (cnt * delta).astype(np.int32)
+        cv = self.covis
+        np.add.at(cv, (ai, bi), d)
+        np.add.at(cv, (bi, ai), d)
 
     def add_point_obs(self, lms: np.ndarray, kf_id: int, fis: np.ndarray):
         """Add one observation per (landmark, feature) pair from kf_id,
@@ -453,7 +483,7 @@ class SlamMap:
         self._covis_pairs(table.kf[left[keepm]], table.kf[right[keepm]], -1)
         np.add.at(nobs, lms, -1)
         table.valid[rows] = False
-        table.invalidate()
+        table._idx_remove(rows)
 
     def remove_point_obs_rows(self, rows: np.ndarray):
         self._remove_obs_rows(self.pobs, self._pt_nobs, rows)
@@ -483,8 +513,9 @@ class SlamMap:
             a = np.repeat(table.kf[kill_rows], len(keep_rows))
             b = np.tile(table.kf[keep_rows], len(kill_rows))
             self._covis_pairs(a, b, +1)
+        table._idx_remove(kill_rows)
         table.lm[kill_rows] = keep
-        table.invalidate()
+        table._idx_insert(kill_rows)
         nobs[keep] += nobs[kill]
         nobs[kill] = 0
         valid_view[kill] = False
@@ -521,7 +552,7 @@ class SlamMap:
             if len(rows):
                 np.add.at(nobs, table.lm[rows], -1)
                 table.valid[rows] = False
-                table.invalidate()
+                table._idx_remove(rows)
             # ownership rebase: oldest surviving observer takes over
             n_lm = len(valid_view)
             owned = np.where(valid_view
@@ -540,12 +571,31 @@ class SlamMap:
 
     # -- covisibility -------------------------------------------------------
 
-    def expand_graphs(self):
-        """Grow covis to (K+1)^2 (expandGraphs :992)."""
+    @property
+    def covis(self) -> np.ndarray:
+        """(K, K) covisibility-count view (full_graph)."""
         k = len(self.keyframes)
-        g = np.zeros((k, k), np.int32)
-        g[: self.covis.shape[0], : self.covis.shape[1]] = self.covis
-        self.covis = g
+        return self._covis_buf[:k, :k]
+
+    @covis.setter
+    def covis(self, value):
+        k = len(self.keyframes)
+        self._covis_buf[:k, :k] = value
+
+    def expand_graphs(self):
+        """Grow covis to (K+1)^2 (expandGraphs :992) — amortized O(1) via
+        the capacity-doubling buffer; new row/col arrive zeroed."""
+        k = len(self.keyframes)
+        cap = self._covis_buf.shape[0]
+        if k > cap:
+            new = np.zeros((2 * cap, 2 * cap), np.int32)
+            new[:cap, :cap] = self._covis_buf
+            self._covis_buf = new
+        else:
+            # the freshly exposed row/col may hold counts of a previously
+            # truncated map (checkpoint restore reuse) — zero them
+            self._covis_buf[k - 1, :k] = 0
+            self._covis_buf[:k, k - 1] = 0
 
     def local_kf_set(self) -> np.ndarray:
         """formLocalMap (:1005): KFs covisible with the newest (covis >=

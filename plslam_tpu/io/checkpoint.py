@@ -142,7 +142,14 @@ def load_map(path: str, mapper: MapHandler,
     """Restore map state in place (mapper supplies cam + configs)."""
     z = np.load(path, allow_pickle=False)
     mp = mapper.map
-    mp.covis = z["covis"]
+    # covis goes straight into the capacity buffer: the (K, K) view (and
+    # its setter) is sized by len(keyframes), which is rebuilt below
+    K = int(z["n_kf"])
+    cap = 16
+    while cap < K:
+        cap *= 2
+    mp._covis_buf = np.zeros((cap, cap), np.int32)
+    mp._covis_buf[:K, :K] = z["covis"]
     mp.n_pt = len(z["pt_valid"])
     mp._pt_w = z["pt_w"].copy()
     mp._pt_desc = z["pt_desc"].copy()
