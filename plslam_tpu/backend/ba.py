@@ -26,6 +26,7 @@ of world Pluecker lines with box-plus updates.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -43,6 +44,23 @@ from ..core.plucker import (
 
 CHI2_TH = 5.991  # 2-DoF chi-square 95% gate (mapHandler.cpp:5978, :6131)
 HOMOG = 1e-7
+
+
+def _f32_matmuls(fn):
+    """Trace the wrapped solver entry with default_matmul_precision
+    'highest': the TPU's default bf16 matmul passes corrupt Jacobian
+    chains and normal-equation algebra at the 1e-3 level, which compounds
+    over LM iterations (measured: the 500-frame e2e ATE regressed 17-57%
+    when only the Schur einsums were exact but the residual/Jacobian and
+    refinement matmuls were not).  The solver is latency-bound, so the
+    extra passes are free."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
 
 
 class BAProblem(NamedTuple):
@@ -460,6 +478,7 @@ def total_cost(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
     return c
 
 
+@_f32_matmuls
 def lm_rounds(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
               p_active, l_active, iters: int, robust: bool = True):
     """Fixed-iteration LM with accept/reject damping (the reference's
@@ -494,6 +513,7 @@ class BAResult(NamedTuple):
     cost: jax.Array
 
 
+@_f32_matmuls
 def bundle_adjust(prob: BAProblem, cam: StereoCamera,
                   cfg: BAConfig = BAConfig()) -> BAResult:
     """Two-round BA with chi^2 gating between rounds
@@ -538,6 +558,7 @@ def _mk_chunk(prob: BAProblem, T: jax.Array, x: dict) -> BAProblem:
     return prob._replace(T_c_w=T, **x)
 
 
+@_f32_matmuls
 def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
                           cfg: BAConfig = BAConfig(),
                           axis_name: str | None = None) -> BAResult:

@@ -86,6 +86,15 @@ class MapConfig:
     ba_lines: int = 256
     ba_pobs: int = 4096
     ba_lobs: int = 1024
+    # solver-divergence guard (SURVEY.md §5 failure-detection analog of
+    # isGoodSolution): a bounded robust cost can ACCEPT an LM step that
+    # flings a weakly-constrained pose tens of meters (observed once in
+    # 213 KFs on the 500-frame nuisance e2e: KFs 184-189 jumped 17-28 m
+    # and the run's ATE went 1.1 -> 13.7 m).  A local BA whose largest
+    # pose translation change exceeds lba_max_jump (m) is discarded with
+    # a warning; GBA gets the looser gba_max_jump.  0 disables.
+    lba_max_jump: float = 1.0
+    gba_max_jump: float = 10.0
 
 
 @jax.jit
@@ -1674,10 +1683,27 @@ class MapHandler:
             return None
         return self._finish_local_ba(out, lay, meta)
 
+    def _pose_jump(self, local_ids, T_c_w_new) -> float:
+        """Largest pose-translation change a BA write-back would apply."""
+        mp = self.map
+        old = np.stack([mp.keyframes[k].T_w_k[:3, 3] for k in local_ids])
+        new = np.stack([np.linalg.inv(
+            np.asarray(T_c_w_new[s], np.float64))[:3, 3]
+            for s in range(len(local_ids))])
+        d = np.linalg.norm(new - old, axis=1)
+        return float(d.max()) if len(d) else 0.0
+
     def _finish_local_ba(self, out, lay, meta) -> LocalBAResult:
         (T, points, orth, p_active, l_active,
          cost) = ba_mod.unpack_result_np(out, lay)
         mp = self.map
+        jump = self._pose_jump(meta["local_ids"], T)
+        if self.cfg.lba_max_jump > 0 and (
+                not np.isfinite(jump) or jump > self.cfg.lba_max_jump):
+            log.warning("local BA discarded: max pose jump %.2f m exceeds "
+                        "lba_max_jump=%.2f (solver divergence guard)",
+                        jump, self.cfg.lba_max_jump)
+            return LocalBAResult(T, points, p_active, l_active, cost)
         for sl, kfid in enumerate(meta["local_ids"]):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T[sl], np.float64))
@@ -1770,6 +1796,13 @@ class MapHandler:
         (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
             (res.problem.T_c_w, res.problem.points, res.problem.lines_orth,
              res.problem.lines_scale, res.p_active, res.l_active))
+        jump = self._pose_jump(local_ids, T_c_w)
+        if self.cfg.gba_max_jump > 0 and (
+                not np.isfinite(jump) or jump > self.cfg.gba_max_jump):
+            log.warning("GBA discarded: max pose jump %.2f m exceeds "
+                        "gba_max_jump=%.2f (solver divergence guard)",
+                        jump, self.cfg.gba_max_jump)
+            return res
         for s, kfid in enumerate(local_ids):
             mp.keyframes[kfid].T_w_k = np.linalg.inv(
                 np.asarray(T_c_w[s], np.float64))

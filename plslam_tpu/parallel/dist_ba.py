@@ -129,6 +129,7 @@ def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(pspec,),
         out_specs=(pspec, P()), check_vma=False)
+    @ba_mod._f32_matmuls
     def run(prob: ba_mod.BAProblem):
         p_active = prob.p_valid
         l_active = prob.l_valid

@@ -247,6 +247,14 @@ def distributed_global_bundle_adjustment(mapper, mesh: Mesh,
     (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
         run(prob_dev))
 
+    jump = mapper._pose_jump(blk.kf_ids, T_c_w)
+    if mapper.cfg.gba_max_jump > 0 and (
+            not np.isfinite(jump) or jump > mapper.cfg.gba_max_jump):
+        log.warning("kf-block GBA discarded: max pose jump %.2f m exceeds "
+                    "gba_max_jump=%.2f (solver divergence guard)",
+                    jump, mapper.cfg.gba_max_jump)
+        return blk
+
     mp = mapper.map
     for s, kfid in enumerate(blk.kf_ids):
         mp.keyframes[kfid].T_w_k = np.linalg.inv(

@@ -45,6 +45,8 @@ def run_mode(plucker: bool, frames, poses, cam):
     mcfg = MapConfig(use_lines=True, plucker_lines=plucker,
                      local_ba_kf=16, ba_points=2048, ba_lines=256,
                      ba_pobs=16384, ba_lobs=2048)
+    if os.environ.get("E2E_DEFAULT_CAPS"):
+        mcfg = None
     slam = PLSLAM(cam, cfg, mcfg)
     t0 = time.time()
     for i, (il, ir) in enumerate(frames):

@@ -63,13 +63,49 @@ def _gt_assoc(scene, T_w_c, sp, ep, valid, ang_tol=0.12, dist_tol=3.5):
     return out
 
 
-def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label=""):
+def _make_mask(mode, cfg, sa, sb):
+    """Candidate-window variants: 'full' = symmetric point-to-segment
+    (production, the LineIterator full-raster analog), 'oneside' = the r3
+    behavior (endpoints of set 1 vs segment 2 only), 'midpoint' = midpoint
+    rectangle windows (the r3 fused-association behavior)."""
+    import jax.numpy as jnp
+
+    if mode == "full":
+        return M.line_pair_mask(sa.sp, sa.ep, sb.sp, sb.ep,
+                                sa.valid, sb.valid,
+                                radius=cfg.line_window,
+                                min_dir_cos=cfg.line_sim_th)
+    v1 = sa.ep - sa.sp
+    v2 = sb.ep - sb.sp
+    n1 = jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-12)
+    n2 = jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-12)
+    cos = jnp.abs((v1 / n1) @ (v2 / n2).T)
+    if mode == "oneside":
+        r2 = cfg.line_window ** 2
+        near = ((M._point_segment_dist2(sa.sp, sb.sp, sb.ep) <= r2)
+                | (M._point_segment_dist2(sa.ep, sb.sp, sb.ep) <= r2))
+    else:  # midpoint
+        near = M.window_pair_mask(
+            0.5 * (sa.sp + sa.ep), 0.5 * (sb.sp + sb.ep),
+            sa.valid, sb.valid, cfg.line_window, cfg.line_window)
+    return (near & (cos >= cfg.line_sim_th)
+            & sa.valid[:, None] & sb.valid[None, :])
+
+
+def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label="",
+        long_lines=False, mask_mode="full"):
     det = jax.jit(lambda im: _detect_describe_lines(im, cfg))
     match = jax.jit(lambda da, db, mask: M.match_descriptors(
         da, db, mask, 0.9))
     tot_m, tot_ok, tot_det = 0, 0, 0
     for seed in range(n_scenes):
         scene = SyntheticScene(n_points=250, n_lines=48, seed=seed)
+        if long_lines:
+            # stretch every 3D segment 3x about its midpoint: long image
+            # segments are where midpoint/one-sided windows lose candidates
+            mid = 0.5 * (scene.LA + scene.LB)
+            scene.LA = mid + 3.0 * (scene.LA - mid)
+            scene.LB = mid + 3.0 * (scene.LB - mid)
         poses = circular_trajectory(n_steps + 1, step_t=0.07, step_r=0.012)
         views = []
         for T in poses:
@@ -78,10 +114,7 @@ def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label=""):
             gt = _gt_assoc(scene, T, seg.sp, seg.ep, np.asarray(seg.valid))
             views.append((seg, desc, gt, T))
         for (sa, da, ga, _), (sb, db, gb, _) in zip(views, views[1:]):
-            mask = M.line_pair_mask(sa.sp, sa.ep, sb.sp, sb.ep,
-                                    sa.valid, sb.valid,
-                                    radius=cfg.line_window,
-                                    min_dir_cos=cfg.line_sim_th)
+            mask = _make_mask(mask_mode, cfg, sa, sb)
             res = match(da, db, mask)
             idx = np.asarray(res.idx)
             for i, j in enumerate(idx):
@@ -91,11 +124,18 @@ def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label=""):
                 tot_ok += int(ga[i] == gb[j])
             tot_det += int((ga >= 0).sum())
     wrong = tot_m - tot_ok
-    print(f"{label:24s} matches={tot_m:4d} correct={tot_ok:4d} "
+    print(f"{label:30s} matches={tot_m:4d} correct={tot_ok:4d} "
           f"wrong={wrong:3d} ({100.0 * wrong / max(tot_m, 1):.1f}%) "
           f"gt-visible detections={tot_det}")
     return tot_m, tot_ok
 
 
 if __name__ == "__main__":
-    run(FrontendConfig(), label="baseline")
+    run(FrontendConfig(), label="baseline (full-segment)")
+    run(FrontendConfig(), label="baseline oneside", mask_mode="oneside")
+    run(FrontendConfig(), label="baseline midpoint", mask_mode="midpoint")
+    run(FrontendConfig(), label="long-lines full-segment", long_lines=True)
+    run(FrontendConfig(), label="long-lines oneside", long_lines=True,
+        mask_mode="oneside")
+    run(FrontendConfig(), label="long-lines midpoint", long_lines=True,
+        mask_mode="midpoint")

@@ -449,3 +449,25 @@ def test_kf_drop_rebases_landmark_ownership():
         if len(kfs):
             assert mp.pt_first_kf[lm] == kfs.min()
             assert mp.pt_first_kf[lm] != 0
+
+
+def test_lba_divergence_guard_discards_runaway_solves(caplog):
+    """A bounded robust cost can accept an LM step that flings a weak
+    pose far away; the write-back guard (MapConfig.lba_max_jump) must
+    discard such a solve loudly and leave the map untouched."""
+    import dataclasses
+    import logging
+
+    mapper, _, _ = _build_mapper(n_kf=5, n_pts=120, n_ls=12)
+    mp = mapper.map
+    before = np.stack([k.T_w_k for k in mp.keyframes])
+    # threshold below any real update -> every solve is "divergent"
+    mapper.cfg = dataclasses.replace(mapper.cfg, lba_max_jump=1e-12)
+    with caplog.at_level(logging.WARNING, logger="plslam"):
+        mapper.local_bundle_adjustment()
+    assert any("divergence guard" in m for m in caplog.messages)
+    after = np.stack([k.T_w_k for k in mp.keyframes])
+    np.testing.assert_array_equal(before, after)
+    # with the default bound the same solve is applied
+    mapper.cfg = dataclasses.replace(mapper.cfg, lba_max_jump=1.0)
+    mapper.local_bundle_adjustment()

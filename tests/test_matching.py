@@ -117,3 +117,36 @@ def test_line_mask_direction_filter():
     m = np.asarray(M.line_pair_mask(sp1, ep1, sp2, ep2, v1, v2, 5.0, 0.75))
     assert m[0, 0]
     assert not m[0, 1]
+
+
+def test_full_segment_mask_catches_partial_fragments():
+    """A short detected fragment lying along the MIDDLE of a long line
+    must be a candidate (the reference rasterizes the full segment into
+    grid cells, lineIterator.cpp:34-77): the symmetric point-to-segment
+    mask accepts it, while both r3 approximations — midpoint windows and
+    one-sided endpoint checks — reject it."""
+    sp1 = jnp.asarray([[0.0, 100.0]])
+    ep1 = jnp.asarray([[400.0, 100.0]])      # long line
+    sp2 = jnp.asarray([[190.0, 101.0]])
+    ep2 = jnp.asarray([[230.0, 101.0]])      # central fragment
+    v = jnp.ones(1, bool)
+    radius = 40.0
+    full = M.line_pair_mask(sp1, ep1, sp2, ep2, v, v, radius, 0.75)
+    assert bool(full[0, 0])
+    # midpoint distance is |200-210| = 10 < radius here; shift the
+    # fragment toward one end so midpoints drift apart
+    sp2b = jnp.asarray([[300.0, 101.0]])
+    ep2b = jnp.asarray([[340.0, 101.0]])
+    full_b = M.line_pair_mask(sp1, ep1, sp2b, ep2b, v, v, radius, 0.75)
+    assert bool(full_b[0, 0])
+    mid1 = 0.5 * (sp1 + ep1)                 # (200, 100)
+    mid2b = 0.5 * (sp2b + ep2b)              # (320, 101)
+    midw = M.window_pair_mask(mid1, mid2b, v, v, radius, radius)
+    assert not bool(midw[0, 0]), "midpoint window should miss this"
+    # one-sided (endpoints of the LONG line vs the fragment): both long
+    # endpoints are > radius from the fragment
+    r2 = radius * radius
+    d_s = M._point_segment_dist2(sp1, sp2b, ep2b)
+    d_e = M._point_segment_dist2(ep1, sp2b, ep2b)
+    assert not bool((d_s <= r2)[0, 0]) and not bool((d_e <= r2)[0, 0]), \
+        "one-sided endpoint check should miss this"
