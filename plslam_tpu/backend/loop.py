@@ -535,6 +535,12 @@ class LoopCloser:
 
         def run(pairs, f_lm_old, f_lm_new, add_obs, merge, spawn, table,
                 lm_attr, lm_valid, ent_old, ent_new, ent_lm, gate):
+            # Intentionally sequential: each pair's case (extend / create /
+            # fuse) depends on the landmark links the PREVIOUS pairs just
+            # rewrote (two pairs may touch the same landmark through a
+            # prior merge), exactly like the reference's loop (:5533-5807).
+            # It runs once per loop-closure event over O(100) pairs with
+            # batched covis updates inside, so it is not a per-KF cost.
             for i1, i2 in np.asarray(pairs, np.int64).reshape(-1, 2):
                 lm0, lm1 = int(f_lm_old[i1]), int(f_lm_new[i2])
                 # a feature may still back-link a CULLED landmark (culling

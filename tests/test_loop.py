@@ -152,3 +152,23 @@ def test_vocab_refresh_keeps_loop_closing():
     drift_after = np.linalg.norm(
         mapper.map.keyframes[-1].T_w_k[:3, 3] - T_true[-1][:3, 3])
     assert drift_after < drift_before
+
+
+def test_pretrained_vocabulary_loop_closes():
+    """The SHIPPED pretrained vocabulary (configs/vocab_orb_k10L3.yml.gz,
+    DBoW2 interchange format) drives candidate retrieval end-to-end: with
+    a fixed vocabulary (reference semantics, mapHandler.cpp:41-44) the
+    same revisit scenario still detects and closes the loop."""
+    import os
+
+    voc = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "vocab_orb_k10L3.yml.gz")
+    mapper, closer, reports, T_true, drift_before = _run_loop_scenario(
+        vocabulary_file=voc)
+    assert closer.voc is not None and closer.voc.num_words == 1000
+    assert len(reports) >= 1, "no closure with the pretrained vocabulary"
+    r = reports[-1]
+    assert r["candidate"] == 0 and r["kf"] == 12, r
+    drift_after = np.linalg.norm(
+        mapper.map.keyframes[-1].T_w_k[:3, 3] - T_true[12][:3, 3])
+    assert drift_after < drift_before
