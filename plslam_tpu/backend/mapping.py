@@ -663,6 +663,24 @@ _orth_batch = jax.jit(jax.vmap(plucker_to_orth))
 _plucker_from_orth_batch = jax.jit(jax.vmap(orth_to_plucker))
 
 
+def _orth_from_plucker_meta(prob, meta):
+    """Host-side Pluecker -> orth fill of a chunk BAProblem whose lines
+    ride ``meta['lines_plucker']`` (shared by the single-chip chunked GBA
+    and the kf-block sharded GBA)."""
+    lp = meta["lines_plucker"]
+    if lp is None:
+        return prob
+    nls = len(meta["ls_ids"])
+    orth = np.zeros_like(prob.lines_orth)
+    if nls:
+        scales = np.linalg.norm(lp[:nls], axis=-1)
+        orth[:nls] = np.asarray(_orth_batch(jnp.asarray(
+            (lp[:nls] / np.maximum(scales, 1e-12)[:, None]
+             ).astype(np.float32))))
+        prob.lines_scale[:nls] = scales
+    return prob._replace(lines_orth=orth)
+
+
 def _pad_bucket(n: int, lo: int = 256) -> int:
     """Round a dynamic candidate count up to a power-of-two bucket so the
     jitted matchers compile O(log N) distinct shapes instead of one fresh
@@ -1733,6 +1751,21 @@ class MapHandler:
             return np.asarray(buf)
         return np.asarray(jax.device_get(out))
 
+    def _gba_chunk_caps(self):
+        """Per-chunk landmark capacities with the endpoint-mode
+        |points| + 2*|lines| <= ba_points invariant — ONE definition
+        shared by the single-chip chunked GBA and the kf-block sharded
+        GBA (clamping only the point cap could overflow the table when
+        ba_lines > ba_points/4)."""
+        cfg = self.cfg
+        cap_p, cap_l = cfg.ba_points, cfg.ba_lines
+        if not cfg.plucker_lines:
+            cap_p_eff = max(cap_p - 2 * cap_l, cap_p // 2)
+            cap_l_eff = max(1, min(cap_l, (cap_p - cap_p_eff) // 2))
+        else:
+            cap_p_eff, cap_l_eff = cap_p, cap_l
+        return cap_p, cap_l, cap_p_eff, cap_l_eff
+
     @_locked
     def global_bundle_adjustment(self):
         """GBA over ALL keyframes and ALL landmarks, tiled over fixed-shape
@@ -1749,17 +1782,7 @@ class MapHandler:
         slotmask[local_ids] = True
         pt_ids, ls_ids = self._ba_landmark_ids(slotmask)
 
-        cap_p, cap_l = cfg.ba_points, cfg.ba_lines
-        if not cfg.plucker_lines:
-            # endpoint mode appends two point slots per line into the
-            # (cap_p, 3) table, so a chunk must satisfy
-            # |points| + 2*|lines| <= cap_p — derive BOTH per-chunk caps
-            # from that invariant (clamping only the point cap could
-            # overflow the table when cap_l > cap_p/4)
-            cap_p_eff = max(cap_p - 2 * cap_l, cap_p // 2)
-            cap_l_eff = max(1, min(cap_l, (cap_p - cap_p_eff) // 2))
-        else:
-            cap_p_eff, cap_l_eff = cap_p, cap_l
+        cap_p, cap_l, cap_p_eff, cap_l_eff = self._gba_chunk_caps()
         n_chunks = max(1,
                        -(-len(pt_ids) // cap_p_eff) if len(pt_ids) else 1,
                        -(-len(ls_ids) // cap_l_eff) if len(ls_ids) else 1)
@@ -1776,16 +1799,7 @@ class MapHandler:
         log.info("GBA: %d KFs, %d points + %d lines in %d chunk(s)",
                  len(local_ids), len(pt_ids), len(ls_ids), n_chunks)
         for c, (prob, meta) in enumerate(zip(probs, metas)):
-            lp = meta["lines_plucker"]
-            if lp is not None:
-                nls = len(meta["ls_ids"])
-                scales = np.linalg.norm(lp[:nls], axis=-1)
-                orth = np.zeros_like(prob.lines_orth)
-                if nls:
-                    orth[:nls] = np.asarray(_orth_batch(
-                        jnp.asarray(lp[:nls] / scales[:, None])))
-                    prob.lines_scale[:nls] = scales
-                probs[c] = prob._replace(lines_orth=orth)
+            probs[c] = _orth_from_plucker_meta(prob, meta)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
         # pose fields are shared, not chunked
         stacked = stacked._replace(

@@ -95,24 +95,26 @@ def _dist_cost(prob, cam, cfg, p_active, l_active, axes=AXIS):
     return jax.lax.psum(c, axes)
 
 
-def problem_specs(axes=AXIS) -> ba_mod.BAProblem:
-    """Per-leaf PartitionSpecs: replicated poses + validity, landmark/obs
-    leaves sharded along ``axes`` (an axis name or tuple for multi-axis
-    meshes)."""
-    return ba_mod.BAProblem(
-        T_c_w=P(), pose_fixed=P(), pose_valid=P(),
-        points=P(axes), point_valid=P(axes),
-        lines_orth=P(axes), lines_scale=P(axes), line_valid=P(axes),
-        p_cam=P(axes), p_lm=P(axes), p_uv=P(axes), p_sigma2=P(axes),
-        p_valid=P(axes),
-        l_cam=P(axes), l_lm=P(axes), l_sobs=P(axes), l_eobs=P(axes),
-        l_sigma2=P(axes), l_valid=P(axes),
-    )
+_POSE_FIELDS = ("T_c_w", "pose_fixed", "pose_valid")
+
+
+def problem_specs(axes=AXIS, endpoint_lines: bool = False) -> ba_mod.BAProblem:
+    """Per-leaf PartitionSpecs: pose leaves replicated, every landmark/obs
+    leaf sharded along ``axes`` (an axis name or tuple for multi-axis
+    meshes).  ``endpoint_lines`` must mirror the problem's layout: the
+    optional p_lo/p_is_line leaves exist only in endpoint mode and must be
+    None (not a spec leaf) otherwise, or tree mapping over (problem,
+    specs) fails with a structure mismatch."""
+    none_fields = () if endpoint_lines else ("p_lo", "p_is_line")
+    return ba_mod.BAProblem(**{
+        f: (None if f in none_fields else
+            (P() if f in _POSE_FIELDS else P(axes)))
+        for f in ba_mod.BAProblem._fields})
 
 
 def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
                             cfg: ba_mod.BAConfig, iters: int = 10,
-                            axes=AXIS):
+                            axes=AXIS, endpoint_lines: bool = False):
     """Build the jitted shard_map BA step for a given mesh.
 
     The returned function takes a BAProblem whose landmark/observation
@@ -120,11 +122,13 @@ def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
     ``shard_problem(mesh, prob)``) and runs ``iters`` accepted/rejected LM
     iterations of the distributed Schur solve.  ``axes`` names the mesh
     axis — or axis tuple, for the 2-axis (host x device) multi-host mesh
-    of parallel/multihost.py — the landmark dimension is sharded over.
+    of parallel/multihost.py — the landmark dimension is sharded over;
+    ``endpoint_lines`` selects the endpoint-parameterized problem layout
+    (p_lo/p_is_line present).
     """
 
     # replicated leaves: poses + validity; sharded leaves: landmarks + obs
-    pspec = problem_specs(axes)
+    pspec = problem_specs(axes, endpoint_lines)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(pspec,),
@@ -164,13 +168,13 @@ def make_dist_bundle_adjust(mesh: Mesh, cam: StereoCamera,
 
 def shard_problem(mesh: Mesh, prob: ba_mod.BAProblem,
                   axes=AXIS) -> ba_mod.BAProblem:
-    """Device_put each leaf with its distributed sharding.  Landmark slot
-    indices (p_lm / l_lm) must already be *shard-local* (host assembly
-    groups observations by landmark shard)."""
-    specs = problem_specs(axes)
+    """Device_put each leaf with its distributed sharding (the endpoint
+    layout is inferred from the problem).  Landmark slot indices
+    (p_lm / l_lm) must already be *shard-local* (host assembly groups
+    observations by landmark shard)."""
+    specs = problem_specs(axes, endpoint_lines=prob.p_lo is not None)
 
     def put(x, spec):
-        return (None if x is None
-                else jax.device_put(x, NamedSharding(mesh, spec)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, prob, specs)

@@ -44,9 +44,6 @@ log = logging.getLogger("plslam_tpu.dist_gba")
 
 AXIS = "kf"
 
-_POSE_FIELDS = ("T_c_w", "pose_fixed", "pose_valid")
-
-
 class BlockedGBA(NamedTuple):
     """Host-assembled inputs: chunk problems stacked on a leading axis
     (n_chunks = n_blocks * chunks_per_device), pose leaves unstacked."""
@@ -72,7 +69,7 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
     BAProblem per chunk over ALL active keyframes.  Each landmark appears
     in exactly one chunk together with every one of its observations, so
     chunked Schur accumulation over the shards is exact."""
-    from ..backend.mapping import _orth_batch, _pad_bucket
+    from ..backend.mapping import _orth_from_plucker_meta, _pad_bucket
 
     mp = mapper.map
     cfg = mapper.cfg
@@ -108,15 +105,8 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
     ls_sorted = ls_ids[np.argsort(owner(mp.lobs, mp.n_ls, ls_ids),
                                   kind="stable")]
 
-    cap_p, cap_l = cfg.ba_points, cfg.ba_lines
-    if not plucker:
-        # endpoint mode appends two point-table slots per line; derive BOTH
-        # per-chunk caps from |points| + 2*|lines| <= cap_p
-        # (global_bundle_adjustment's invariant, mapping.py cap_p_eff)
-        cap_p_eff = max(cap_p - 2 * cap_l, cap_p // 2)
-        cap_l_eff = max(1, min(cap_l, (cap_p - cap_p_eff) // 2))
-    else:
-        cap_p_eff, cap_l_eff = cap_p, cap_l
+    # the same per-chunk capacity invariant the single-chip GBA uses
+    cap_p, cap_l, cap_p_eff, cap_l_eff = mapper._gba_chunk_caps()
     # chunks per device: smallest C such that every chunk fits the caps
     C = max(1,
             -(-Ng // (n_blocks * cap_p_eff)),
@@ -132,18 +122,8 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
         prob, meta = mapper._assemble_problem(
             kf_ids, pc, lc, cap_p, cap_l, cfg.ba_pobs, cfg.ba_lobs,
             fix_rule="kf0", cap_k=cap_k)
-        lp = meta["lines_plucker"]
-        if lp is not None:
-            # host-side Pluecker -> orth (global_bundle_adjustment parity)
-            nls = len(lc)
-            orth = np.zeros_like(prob.lines_orth)
-            if nls:
-                scales = np.linalg.norm(lp[:nls], axis=-1)
-                orth[:nls] = np.asarray(_orth_batch(jnp.asarray(
-                    (lp[:nls] / np.maximum(scales, 1e-12)[:, None]
-                     ).astype(np.float32))))
-                prob.lines_scale[:nls] = scales
-            prob = prob._replace(lines_orth=orth)
+        # host-side Pluecker -> orth (global_bundle_adjustment parity)
+        prob = _orth_from_plucker_meta(prob, meta)
         gp = np.full(cap_p, -1, np.int64)
         gp[: len(pc)] = g_of_pt[pc]
         op = np.zeros(cap_p, bool)
@@ -186,15 +166,11 @@ def partition_map(mapper, n_blocks: int) -> BlockedGBA:
 
 
 def _problem_specs(endpoint_lines: bool, axes=AXIS) -> ba_mod.BAProblem:
-    """Per-leaf PartitionSpecs: pose leaves replicated, chunk leaves
-    sharded along the kf axis (or axis tuple for the multi-host mesh);
-    p_lo/p_is_line exist only in endpoint mode (must be None — not a
-    spec leaf — otherwise)."""
-    none_fields = () if endpoint_lines else ("p_lo", "p_is_line")
-    return ba_mod.BAProblem(**{
-        f: (None if f in none_fields else
-            (P() if f in _POSE_FIELDS else P(axes)))
-        for f in ba_mod.BAProblem._fields})
+    """Per-leaf PartitionSpecs (pose leaves replicated, chunk leaves
+    sharded) — one definition shared with the landmark-sharded BA."""
+    from .dist_ba import problem_specs
+
+    return problem_specs(axes, endpoint_lines)
 
 
 def make_kf_block_gba(mesh: Mesh, cam: StereoCamera,
@@ -228,38 +204,46 @@ def distributed_global_bundle_adjustment(mapper, mesh: Mesh,
     observation pruning).  ``rounds`` is accepted for API compatibility
     but unused: the sharded solve is exact, not an iterated consensus.
     ``axes`` defaults to all of the mesh's axis names (so a 2-axis
-    host x device mesh shards chunks over both and psums hierarchically)."""
+    host x device mesh shards chunks over both and psums hierarchically).
+
+    Locking matches the @_locked single-chip path: any deferred local-BA
+    result is applied FIRST (or its stale write-back would later land on
+    top of the GBA correction), and the partition + write-back hold the
+    mapper's map lock against the mapping/loop-closure workers."""
     del rounds
     if axes is None:
         axes = (mesh.axis_names[0] if len(mesh.axis_names) == 1
                 else tuple(mesh.axis_names))
     n_blocks = mesh.devices.size
-    blk = partition_map(mapper, n_blocks)
-    run = make_kf_block_gba(mesh, mapper.cam, mapper.ba_cfg,
-                            endpoint_lines=not blk.plucker, axes=axes)
+    mapper.flush_ba()
+    with mapper._map_lock:
+        blk = partition_map(mapper, n_blocks)
+        run = make_kf_block_gba(mesh, mapper.cam, mapper.ba_cfg,
+                                endpoint_lines=not blk.plucker, axes=axes)
 
-    specs = _problem_specs(not blk.plucker, axes)
+        specs = _problem_specs(not blk.plucker, axes)
 
-    def put(x, spec):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        def put(x, spec):
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
-    prob_dev = jax.tree.map(put, blk.prob, specs)
-    (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
-        run(prob_dev))
+        prob_dev = jax.tree.map(put, blk.prob, specs)
+        (T_c_w, points, orth, scale, p_active, l_active) = jax.device_get(
+            run(prob_dev))
 
-    jump = mapper._pose_jump(blk.kf_ids, T_c_w)
-    if mapper.cfg.gba_max_jump > 0 and (
-            not np.isfinite(jump) or jump > mapper.cfg.gba_max_jump):
-        log.warning("kf-block GBA discarded: max pose jump %.2f m exceeds "
-                    "gba_max_jump=%.2f (solver divergence guard)",
-                    jump, mapper.cfg.gba_max_jump)
-        return blk
+        jump = mapper._pose_jump(blk.kf_ids, T_c_w)
+        if mapper.cfg.gba_max_jump > 0 and (
+                not np.isfinite(jump) or jump > mapper.cfg.gba_max_jump):
+            log.warning("kf-block GBA discarded: max pose jump %.2f m "
+                        "exceeds gba_max_jump=%.2f (solver divergence "
+                        "guard)", jump, mapper.cfg.gba_max_jump)
+            return blk
 
-    mp = mapper.map
-    for s, kfid in enumerate(blk.kf_ids):
-        mp.keyframes[kfid].T_w_k = np.linalg.inv(
-            np.asarray(T_c_w[s], np.float64))
-    for c, meta in enumerate(blk.metas):
-        mapper._write_back_landmarks(
-            points[c], orth[c], scale[c], p_active[c], l_active[c], meta)
+        mp = mapper.map
+        for s, kfid in enumerate(blk.kf_ids):
+            mp.keyframes[kfid].T_w_k = np.linalg.inv(
+                np.asarray(T_c_w[s], np.float64))
+        for c, meta in enumerate(blk.metas):
+            mapper._write_back_landmarks(
+                points[c], orth[c], scale[c], p_active[c], l_active[c],
+                meta)
     return blk

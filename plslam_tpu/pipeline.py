@@ -161,11 +161,14 @@ class PLSLAM:
                 % self.config.viz_every_kf == 0):
             # live scene export at KF cadence (slamScene updateSceneSafe
             # analog): rewrite the self-contained HTML; runs on the
-            # mapping worker so it never blocks tracking
+            # mapping worker so it never blocks tracking.  The map lock
+            # keeps the export from reading a half-applied loop-closure
+            # correction (the LC worker rewrites every pose under it).
             from .viz_scene import export_scene_html
 
             try:
-                export_scene_html(self.mapper, self.config.viz_path)
+                with self.mapper._map_lock:
+                    export_scene_html(self.mapper, self.config.viz_path)
             except Exception:   # viz must never kill the mapping worker
                 pass
         if self.loop_closer is not None:
