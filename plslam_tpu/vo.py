@@ -6,11 +6,13 @@ protocol (:66-86), optimizePose (:307), pose chaining + covariance
 composition (:385-394), needNewKF (:1465), currFrameIsKF (:1518).
 
 Dispatch discipline (the TPU analog of the reference's thread overlap):
-the per-frame hot path is exactly THREE device programs —
+the per-frame hot path is exactly TWO device programs —
 
-  1. batched point detection on the stacked (2, H, W) stereo pair,
-  2. batched line detection on the same stack,
-  3. one fused program: stereo matching for both modalities + f2f
+  1. ONE fused detection program: batched point AND line detection on
+     the stacked (2, H, W) stereo pair (each extra dispatch costs
+     milliseconds of host overhead on a remote-dispatch runtime;
+     measured 5.45 ms/frame fused vs 16.1 ms as two dispatches),
+  2. one fused program: stereo matching for both modalities + f2f
      association + robust GN pose solve + keyframe statistics + the
      device-side adaptative-FAST update —
 
@@ -198,6 +200,13 @@ class VisualOdometry:
                                use_motion_model=use_motion_model,
                                **fast_params)
         self._det_pts, self._det_ls = make_batched_detectors(fcfg)
+        # ONE fused detection dispatch: the point and line programs share
+        # the stacked (2, H, W) input, and on the remote-dispatch runtime
+        # each extra dispatch costs milliseconds of host overhead —
+        # measured 5.45 ms/frame fused vs 16.1 ms as two dispatches
+        # (nested jits inline into a single XLA program)
+        self._det_both = jax.jit(
+            lambda imgs, th: (self._det_pts(imgs, th), self._det_ls(imgs)))
 
         def _match_pair(kp_pair, seg_pair):
             (kp, pdesc) = kp_pair
@@ -214,8 +223,7 @@ class VisualOdometry:
 
     def _extract_pair(self, img_l, img_r, fast_th):
         imgs = jnp.stack([img_l, img_r])
-        kp_pair = self._det_pts(imgs, fast_th)
-        seg_pair = self._det_ls(imgs)
+        kp_pair, seg_pair = self._det_both(imgs, fast_th)
         return kp_pair, seg_pair
 
     def _extract(self, img_l, img_r, fast_th=None):
@@ -245,15 +253,13 @@ class VisualOdometry:
         say = progress or (lambda s: None)
         imgs = jax.ShapeDtypeStruct((2, *img_shape), img_dtype)
         th = jax.ShapeDtypeStruct((), jnp.float32)
-        kp = jax.eval_shape(self._det_pts, imgs, th)
-        seg = jax.eval_shape(self._det_ls, imgs)
+        kp, seg = jax.eval_shape(self._det_both, imgs, th)
         feats = jax.eval_shape(self._match_pair, kp, seg)
         state = jax.eval_shape(
             lambda f: _fresh_state(f, self.fcfg.fast_th, self.dtype), feats)
         jobs = [
-            ("point detector",
-             lambda: self._det_pts.lower(imgs, th).compile()),
-            ("line detector", lambda: self._det_ls.lower(imgs).compile()),
+            ("fused point+line detector",
+             lambda: self._det_both.lower(imgs, th).compile()),
             ("stereo matcher",
              lambda: self._match_pair.lower(kp, seg).compile()),
             ("match+track",
