@@ -92,6 +92,11 @@ class BatchedVisualOdometry:
 
         self._det_pts_flat = jax.jit(_pts_flat)
         self._det_ls_flat = jax.jit(_ls_flat)
+        # one fused detection dispatch for the whole batch (same win as
+        # VisualOdometry._det_both: per-dispatch host overhead dominates
+        # on the remote runtime)
+        self._det_both_flat = jax.jit(
+            lambda imgs, th: (_pts_flat(imgs, th), _ls_flat(imgs)))
         # under a mesh sharding the batch axis must stay partitioned:
         # shard_map runs the full batch detection program per device on
         # its local sub-batch, so the Pallas kernels (which cannot be
@@ -126,7 +131,7 @@ class BatchedVisualOdometry:
     def _detect(self, imgs, th):
         if self.sharding is not None:
             return self._det_pts_v(imgs, th), self._det_ls_v(imgs)
-        return self._det_pts_flat(imgs, th), self._det_ls_flat(imgs)
+        return self._det_both_flat(imgs, th)
 
     def _stack(self, img_l, img_r):
         imgs = jnp.stack([jnp.asarray(img_l, self.dtype),
