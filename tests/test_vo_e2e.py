@@ -59,3 +59,37 @@ def test_vo_rotation_accuracy(vo_run):
         dR = Tg[:3, :3].T @ np.asarray(Te)[:3, :3]
         ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         assert ang < 1.0, ang
+
+
+def test_prewarm_compiles_the_whole_pipeline():
+    """VisualOdometry.prewarm AOT-compiles the per-frame programs from
+    shapes alone (the driver's cold-cache benchmark robustness,
+    bench.py): after prewarm, the first real frames must not trigger any
+    further compilation — asserted by wall time, since a fresh compile
+    of these programs costs seconds even on CPU."""
+    import time
+
+    from plslam_tpu.io.synthetic import SyntheticScene, circular_trajectory
+
+    scene = SyntheticScene(n_points=80, n_lines=12, seed=0,
+                           width=188, height=120,
+                           fx=100.0, fy=100.0, cx=94.0, cy=60.0)
+    cam = StereoCamera.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                              scene.b, width=scene.width,
+                              height=scene.height)
+    vo = VisualOdometry(cam, FrontendConfig(n_points=128, n_lines=32),
+                        TrackerConfig())
+    vo.prewarm((120, 188), jnp.float32)
+    poses = circular_trajectory(3, step_t=0.05)
+    frames = [tuple(jnp.asarray(x)
+                    for x in scene.render_stereo(T, noise=1.0))
+              for T in poses]
+    t0 = time.time()
+    vo.initialize(*frames[0])
+    res = vo.process(*frames[1])
+    _ = float(res.err)
+    wall = time.time() - t0
+    # a fresh compile of the detection or track program costs >10 s on
+    # this CPU; prewarmed, only sub-second tiny-op compiles remain
+    assert wall < 3.0, f"post-prewarm first frames took {wall:.1f}s " \
+        "(a compile leaked past prewarm)"
