@@ -78,7 +78,15 @@ def build_system(g: PoseGraph):
 
 def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraph:
     """Gauss-Newton with gauge handling: fixed/invalid poses get identity
-    rows, zero rhs."""
+    rows, zero rhs.  Traced at full f32 matmul precision — the PGO runs
+    in f32 on TPU at loop-closure time, and the default bf16 passes
+    corrupt Hessian-level algebra (same rationale as ba._f32_matmuls)."""
+    from .ba import _f32_matmuls
+
+    return _f32_matmuls(_optimize)(g, iters, damping)
+
+
+def _optimize(g: PoseGraph, iters: int, damping: float) -> PoseGraph:
     K = g.T_w_k.shape[0]
     dtype = g.T_w_k.dtype
     free = (g.valid & ~g.fixed).astype(dtype)
