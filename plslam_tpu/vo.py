@@ -89,7 +89,22 @@ def _entropy(cov):
     return 3.0 * (1.0 + jnp.log(2.0 * jnp.pi)) + 0.5 * logdet
 
 
+def _hi_precision(fn):
+    """Trace at full f32 matmul precision: the GN tracker's Jacobian
+    chains and 6x6 Hessian einsums otherwise run the TPU's bf16 matmul
+    passes (~1e-3 relative noise on J), which costs sub-pixel pose
+    accuracy for negligible FLOPs (the contractions are tiny)."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@_hi_precision
 def _match_and_track(kp_pair, seg_pair, state: VOState, cam: StereoCamera,
                      fcfg: FrontendConfig, tcfg: TrackerConfig,
                      prm: VOParams):
