@@ -40,25 +40,32 @@ class Keypoints(NamedTuple):
 
 
 def fast_score_map(img: jax.Array, threshold: float) -> jax.Array:
-    """Dense FAST-9 score map; 0 where not a corner."""
-    ring = jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dx, dy) in RING], axis=0
-    )  # ring[k][y, x] = img[y + dy_k, x + dx_k]
-    diff = ring - img[None]                      # (16, H, W)
-    # doubled ring axis for wraparound windows
-    diff2 = jnp.concatenate([diff, diff], axis=0)  # (32, H, W)
+    """Dense FAST-9 score map; 0 where not a corner.
 
-    def arc_margin(sign):
-        d = sign * diff2                          # bright: ring - I ; dark: I - ring
-        # windowed min over ARC consecutive ring pixels, for each start k
-        # (static slices of the doubled axis fuse better on the VPU than
-        # log2 rolls — measured 2.5 ms vs 5.0 ms for the 2x4-level stack)
-        m = d[:16 + ARC - 1]
-        mins = jnp.stack([m[k:k + 16] for k in range(ARC)], axis=0).min(axis=0)
-        # mins[k] = min over window starting at k  (k in 0..15)
-        return jnp.max(mins, axis=0)              # best arc margin per pixel
+    The bright margin is max over the 16 arc starts of the window-9 min
+    of (ring - I); the dark margin is the same on (I - ring), i.e.
+    -min_k max_window9(ring - I).  Both come from ONE doubling chain of
+    windowed mins/maxes over the wrapped ring (width 2 -> 4 -> 8 -> 9),
+    ~92 elementwise ops per pixel per extremum instead of the 143 of the
+    naive 9-slice stack — the score stage is VPU-bound, so op count is
+    wall time.  Results are bit-identical (min/max are exact)."""
+    diff = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) - img for (dx, dy) in RING]
+    d2 = diff + diff[:ARC - 1]                # wrapped ring, 24 entries
 
-    margin = jnp.maximum(arc_margin(1.0), arc_margin(-1.0))
+    def win9(vals, op):
+        w2 = [op(vals[k], vals[k + 1]) for k in range(16 + 7)]
+        w4 = [op(w2[k], w2[k + 2]) for k in range(16 + 5)]
+        w8 = [op(w4[k], w4[k + 4]) for k in range(16 + 1)]
+        return [op(w8[k], vals[k + 8]) for k in range(16)]
+
+    mins = win9(d2, jnp.minimum)              # window-9 min per arc start
+    maxs = win9(d2, jnp.maximum)              # window-9 max per arc start
+    bright = mins[0]
+    darkneg = maxs[0]
+    for k in range(1, 16):
+        bright = jnp.maximum(bright, mins[k])
+        darkneg = jnp.minimum(darkneg, maxs[k])
+    margin = jnp.maximum(bright, -darkneg)
     return jnp.where(margin > threshold, margin, 0.0)
 
 

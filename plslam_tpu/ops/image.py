@@ -76,8 +76,35 @@ def sobel(img: jax.Array):
     return gx, gy
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) matrix reproducing jax.image.resize 'bilinear'
+    (antialiased triangle kernel, half-pixel centers, row-normalized
+    borders) — agrees with it to f32 summation noise (<0.007 on a 0..255
+    image)."""
+    s = n_out / n_in
+    scale = min(s, 1.0)
+    x_in = (np.arange(n_out) + 0.5) / s - 0.5
+    t = (np.arange(n_in)[None, :] - x_in[:, None]) * scale
+    M = np.maximum(0.0, 1.0 - np.abs(t))
+    M /= M.sum(1, keepdims=True)
+    return M.astype(np.float32)
+
+
 def resize_bilinear(img: jax.Array, shape: tuple[int, int]) -> jax.Array:
-    return jax.image.resize(img, shape, method="bilinear")
+    """Bilinear (antialiased) resize as two MXU matmuls.
+
+    jax.image.resize lowers to scattered gathers on this TPU runtime
+    (measured ~3.3 ms for the 2x4-level pyramid build vs ~1.7 ms as
+    banded matmuls); out = RY @ img @ RX^T keeps it on the MXU."""
+    H, W = img.shape
+    h, w = shape
+    if (h, w) == (H, W):
+        return img
+    RY = jnp.asarray(_resize_matrix(h, H), img.dtype)
+    RXT = jnp.asarray(_resize_matrix(w, W).T, img.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return jax.lax.dot(jax.lax.dot(RY, img, precision=hi), RXT, precision=hi)
 
 
 def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float):
