@@ -54,6 +54,12 @@ class TrackerConfig(NamedTuple):
     # round-1 pose.
     defer_lines_min_pts: int = 30
     line_abs_gate: float = 3.0
+    # Run the GN loop as a lax.while_loop with the reference's stopping
+    # rules as the loop condition (True, default) instead of a fixed-length
+    # masked scan.  Results are identical — converged scan iterations were
+    # already no-ops — but the while form skips their device time: GN
+    # typically converges in 3-6 evaluations, not the 5+10 budget.
+    early_exit: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -73,23 +79,17 @@ def point_residuals(DT: jax.Array, pts: TrackedPoints, cam: StereoCamera):
     z2 = jnp.maximum(z * z, HOMOG_TH)
     fxz = cam.fx / jnp.maximum(z, HOMOG_TH)
     fyz = cam.fy / jnp.maximum(z, HOMOG_TH)
-    # d proj / d P'  (N, 2, 3)
-    zeros = jnp.zeros_like(z)
-    Jproj = jnp.stack(
-        [
-            jnp.stack([fxz, zeros, -cam.fx * x / z2], axis=-1),
-            jnp.stack([zeros, fyz, -cam.fy * y / z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    # d P' / d delta for P'(delta) = exp(delta) P' : [I | -skew(P')]
-    dP = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=P_.dtype), P_.shape[:-1] + (3, 3)),
-         -lie.skew(P_)],
-        axis=-1,
-    )  # (N, 3, 6)
-    J2 = jnp.einsum("nij,njk->nik", Jproj, dP)  # (N, 2, 6)
-    J = jnp.einsum("ni,nik->nk", e, J2) / jnp.maximum(r, HOMOG_TH)[..., None]
+    # Closed-form J = [c | P' x c] with c = (e^T Jproj) / r: the chain
+    # e^T Jproj [I | -skew(P')] collapses because row a . (-skew(P)) =
+    # P x a — pure elementwise ops, no (N,2,3)x(N,3,6) batched matmuls
+    # (the GN loop is latency-bound on tiny-op count)
+    rs = jnp.maximum(r, HOMOG_TH)
+    c = jnp.stack(
+        [e[..., 0] * fxz / rs,
+         e[..., 1] * fyz / rs,
+         -(e[..., 0] * cam.fx * x + e[..., 1] * cam.fy * y) / z2 / rs],
+        axis=-1)  # (N, 3)
+    J = jnp.concatenate([c, jnp.cross(P_, c)], axis=-1)
     return r, J
 
 
@@ -112,12 +112,13 @@ def line_residuals_plucker(DT: jax.Array, ls: TrackedLines, cam: StereoCamera):
                      b0 * fm - ly * e0 * fm * fm, fm], axis=-1)
     de1 = jnp.stack([a1 * fm - lx * e1 * fm * fm,
                      b1 * fm - ly * e1 * fm * fm, fm], axis=-1)
-    # d l / d n_c = K_L; d n_c / d delta = [-skew(d_c) | -skew(n_c)]
-    dn = jnp.concatenate([-lie.skew(d_c), -lie.skew(n_c)], axis=-1)  # (N,3,6)
-    dl = jnp.einsum("ij,njk->nik", cam.plucker_K, dn)  # (N, 3, 6)
-    j0 = jnp.einsum("ni,nik->nk", de0, dl)
-    j1 = jnp.einsum("ni,nik->nk", de1, dl)
-    J = (j0 * e0[..., None] + j1 * e1[..., None]) / jnp.maximum(r, HOMOG_TH)[..., None]
+    # Closed form: de^T K_L [-skew(d_c) | -skew(n_c)] = [d_c x u | n_c x u]
+    # with u = K_L^T de (row a . (-skew(v)) = v x a) — replaces the
+    # (3,3)x(N,3,6) einsum chain with elementwise crosses
+    rs = jnp.maximum(r, HOMOG_TH)
+    de = (de0 * e0[..., None] + de1 * e1[..., None]) / rs[..., None]
+    u = jnp.einsum("ji,nj->ni", cam.plucker_K, de)  # K_L^T de  (N, 3)
+    J = jnp.concatenate([jnp.cross(d_c, u), jnp.cross(n_c, u)], axis=-1)
     return r, J, e0, e1
 
 
@@ -134,28 +135,20 @@ def line_residuals_endpoint(DT: jax.Array, ls: TrackedLines, cam: StereoCamera):
     r = jnp.sqrt(e0 * e0 + e1 * e1)
 
     def endpoint_J(P_):
+        # closed form lxy^T Jproj [I | -skew(P')] = [a | P' x a] with
+        # a = lxy^T Jproj (see point_residuals)
         x, y, z = P_[..., 0], P_[..., 1], P_[..., 2]
         z2 = jnp.maximum(z * z, HOMOG_TH)
-        zeros = jnp.zeros_like(z)
-        Jproj = jnp.stack(
-            [
-                jnp.stack([cam.fx / jnp.maximum(z, HOMOG_TH), zeros,
-                           -cam.fx * x / z2], axis=-1),
-                jnp.stack([zeros, cam.fy / jnp.maximum(z, HOMOG_TH),
-                           -cam.fy * y / z2], axis=-1),
-            ],
-            axis=-2,
-        )
-        dP = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3, dtype=P_.dtype), P_.shape[:-1] + (3, 3)),
-             -lie.skew(P_)],
-            axis=-1,
-        )
-        return jnp.einsum("nij,njk->nik", Jproj, dP)  # (N, 2, 6)
+        zs = jnp.maximum(z, HOMOG_TH)
+        a = jnp.stack(
+            [lo[..., 0] * cam.fx / zs,
+             lo[..., 1] * cam.fy / zs,
+             -(lo[..., 0] * cam.fx * x + lo[..., 1] * cam.fy * y) / z2],
+            axis=-1)  # (N, 3)
+        return jnp.concatenate([a, jnp.cross(P_, a)], axis=-1)  # (N, 6)
 
-    lxy = lo[..., :2]
-    Js = jnp.einsum("ni,nik->nk", lxy, endpoint_J(sP_))
-    Je = jnp.einsum("ni,nik->nk", lxy, endpoint_J(eP_))
+    Js = endpoint_J(sP_)
+    Je = endpoint_J(eP_)
     J = (Js * e0[..., None] + Je * e1[..., None]) / jnp.maximum(r, HOMOG_TH)[..., None]
     return r, J, sp, ep
 
@@ -226,24 +219,35 @@ def build_normal_equations(
     elif cfg.use_lines:
         s_l = robust.clipped_mad_scale(r_l, m_l)
 
+    # ONE augmented weighted Gram for H, g AND err: with per-row
+    # a = [J | r_grad | r], G = sum_n w_n a_n a_n^T (8x8) gives
+    # H = G[:6,:6], g = G[:6,6], e_sum = G[7,7].  This replaces six
+    # small einsums/reductions with a single (8,N)x(N,8) contraction —
+    # the GN loop is latency-bound on tiny-op count, not FLOPs.
+    rows = []
+    if not (cfg.use_points or cfg.use_lines):
+        return H, g, jnp.zeros((), dtype)
     if cfg.use_points:
         w_p = robust.cauchy_weight(r_p / s_p)
         w_p = jnp.where(m_p, w_p, 0.0)
-        H = H + jnp.einsum("n,ni,nj->ij", w_p, J_p, J_p)
-        g = g + jnp.einsum("n,ni,n->i", w_p, J_p, r_p)
-        e_sum = e_sum + jnp.sum(w_p * r_p * r_p)
-        n_sum = n_sum + jnp.sum(m_p.astype(dtype))
-
+        rows.append((w_p, J_p, r_p, r_p, m_p))
     if cfg.use_lines:
         sp_proj = cam.project(lie.transform_point(DT, ls.sP))
         ep_proj = cam.project(lie.transform_point(DT, ls.eP))
         overlap = f2f_line_overlap(ls.sp, ls.ep, sp_proj, ep_proj)
         w_l = robust.cauchy_weight(r_l / s_l) * overlap
         w_l = jnp.where(m_l, w_l, 0.0)
-        H = H + jnp.einsum("n,ni,nj->ij", w_l, J_l, J_l)
-        g = g + jnp.einsum("n,ni,n->i", w_l, J_l, r_g)
-        e_sum = e_sum + jnp.sum(w_l * r_l * r_l)
-        n_sum = n_sum + jnp.sum(m_l.astype(dtype))
+        rows.append((w_l, J_l, r_g, r_l, m_l))
+
+    w = jnp.concatenate([t[0] for t in rows])
+    A = jnp.concatenate([
+        jnp.concatenate([t[1], t[2][:, None], t[3][:, None]], axis=-1)
+        for t in rows])                                   # (N, 8)
+    G = jnp.einsum("n,ni,nj->ij", w, A, A)
+    H = H + G[:6, :6]
+    g = g + G[:6, 6]
+    e_sum = e_sum + G[7, 7]
+    n_sum = n_sum + sum(jnp.sum(t[4].astype(dtype)) for t in rows)
 
     err = e_sum / jnp.maximum(n_sum, 1.0)
     return H, g, err
@@ -269,10 +273,12 @@ def gauss_newton(
     cfg: TrackerConfig,
     max_iters: int,
 ) -> GNResult:
-    """Fixed-iteration GN with the reference's stopping rules
-    (gaussNewtonOptimizationforPluker :803-853) expressed as a masked
-    lax.while-style scan: once converged/failed, further iterations are
-    no-ops."""
+    """GN with the reference's stopping rules
+    (gaussNewtonOptimizationforPluker :803-853).  Default form: a
+    lax.while_loop whose condition IS the stopping rule (converges in 3-6
+    evaluations typically).  cfg.early_exit=False keeps the equivalent
+    fixed-length masked scan (converged iterations become no-ops) —
+    bit-identical results, useful as an A/B and for exotic transforms."""
 
     dtype = DT0.dtype
 
@@ -281,10 +287,16 @@ def gauss_newton(
         H, g, err = build_normal_equations(DT, pts, ls, cam, cfg)
         stop = (jnp.abs(err - err_prev) < cfg.min_error_change) | (err < cfg.min_error)
         # solve H delta = g; guard invalid systems (scan-Cholesky: no
-        # LAPACK custom calls, works on any backend/dtype)
-        delta = linalg.solve_spd(H, g)
+        # LAPACK custom calls, works on any backend/dtype).  ONE
+        # factorization serves both the solve and the SPD check — the
+        # loop is latency-bound, and is_spd(H) runs the identical
+        # Cholesky, so refactorizing doubled the chain for nothing.
+        L = linalg.cholesky(H)
+        delta = linalg.solve_triangular_upper(
+            L.T, linalg.solve_triangular_lower(L, g))
         finite = jnp.all(jnp.isfinite(delta))
-        ok = finite & linalg.is_spd(H)
+        ok = (finite & jnp.all(jnp.isfinite(L))
+              & jnp.all(jnp.diagonal(L) > 0))
         new_good = good & (ok | stop)
         step = jnp.where(done | stop | ~ok, jnp.zeros_like(delta), delta)
         DT_new = lie.exp_se3(-step) @ DT
@@ -293,7 +305,21 @@ def gauss_newton(
         return (DT_new, jnp.where(done, err_prev, err), done_new, new_good), None
 
     init = (DT0, jnp.asarray(9.9e8, dtype), jnp.asarray(False), jnp.asarray(True))
-    (DT, err, _, good), _ = jax.lax.scan(body, init, None, length=max_iters)
+    if cfg.early_exit:
+        i0 = jnp.asarray(0, jnp.int32)
+
+        def w_cond(carry):
+            i, (DT, err_prev, done, good) = carry
+            return (i < max_iters) & ~done
+
+        def w_body(carry):
+            i, inner = carry
+            new_inner, _ = body(inner, None)
+            return (i + 1, new_inner)
+
+        _, (DT, err, _, good) = jax.lax.while_loop(w_cond, w_body, (i0, init))
+    else:
+        (DT, err, _, good), _ = jax.lax.scan(body, init, None, length=max_iters)
     H, g, err_final = build_normal_equations(DT, pts, ls, cam, cfg)
     cov = linalg.solve_spd(H, jnp.eye(6, dtype=dtype))
     cov = jnp.where(good, cov, jnp.eye(6, dtype=dtype))

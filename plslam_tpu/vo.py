@@ -6,17 +6,17 @@ protocol (:66-86), optimizePose (:307), pose chaining + covariance
 composition (:385-394), needNewKF (:1465), currFrameIsKF (:1518).
 
 Dispatch discipline (the TPU analog of the reference's thread overlap):
-the per-frame hot path is exactly TWO device programs —
-
-  1. ONE fused detection program: batched point AND line detection on
-     the stacked (2, H, W) stereo pair (each extra dispatch costs
-     milliseconds of host overhead on a remote-dispatch runtime;
-     measured 5.45 ms/frame fused vs 16.1 ms as two dispatches),
-  2. one fused program: stereo matching for both modalities + f2f
-     association + robust GN pose solve + keyframe statistics + the
-     device-side adaptative-FAST update —
-
-with NO host synchronization inside the loop: all sequential state
+the per-frame hot path is exactly ONE device program — batched point AND
+line detection on the stacked (2, H, W) stereo pair, stereo matching for
+both modalities, f2f association, the robust GN pose solve, keyframe
+statistics, and the device-side adaptative-FAST update, fused into a
+single XLA program.  The chain is strictly sequential regardless
+(detection N consumes state N-1's adaptative FAST threshold); measured
+(scripts/ab_fused_step.py) the fused step matches the two-dispatch split
+exactly (the runtime hides chained-dispatch latency under compute), so
+the fused form is kept for the smaller host-side per-frame work — one
+jit call, one transfer — with NO host synchronization inside the loop:
+all sequential state
 (pose, covariances, FAST threshold, motion-model warm start) stays on
 device as a VOState pytree; the host only forwards opaque device arrays.
 This keeps per-frame host involvement at dispatch-only, which is what
@@ -234,6 +234,26 @@ class VisualOdometry:
             return StereoFeatures(points=points, lines=line_set)
 
         self._match_pair = jax.jit(_match_pair)
+
+        # ONE fused per-frame program: detection + stereo match + f2f +
+        # GN track + KF stats.  The chain is strictly sequential anyway
+        # (detection N consumes state N-1's adaptative fast_th), so
+        # splitting it into two dispatches buys no pipelining — it only
+        # pays the per-program dispatch floor twice (~1.4 ms amortized
+        # on the remote-dispatch runtime; scripts/profile_detect.py).
+        def _step(img_l, img_r, state: VOState):
+            # the (2, H, W) stack happens INSIDE the program: an eager
+            # jnp.stack would be one extra per-frame dispatch
+            imgs = jnp.stack([img_l, img_r])
+            kp_pair = self._det_pts(imgs, state.fast_th)
+            seg_pair = self._det_ls(imgs)
+            # __wrapped__ = the _hi_precision body: full-f32 matmuls for
+            # the tracker's tiny Jacobian contractions; the detection
+            # matmuls pin their own precision internally.
+            return _match_and_track.__wrapped__(
+                kp_pair, seg_pair, state, cam, fcfg, tcfg, self.params)
+
+        self._step = jax.jit(_step)
         self.state: Optional[VOState] = None
 
     def _extract_pair(self, img_l, img_r, fast_th):
@@ -277,10 +297,11 @@ class VisualOdometry:
              lambda: self._det_both.lower(imgs, th).compile()),
             ("stereo matcher",
              lambda: self._match_pair.lower(kp, seg).compile()),
-            ("match+track",
-             lambda: _match_and_track.lower(
-                 kp, seg, state, self.cam, self.fcfg, self.tcfg,
-                 self.params).compile()),
+            ("fused frame step (detect+match+track)",
+             lambda: self._step.lower(
+                 jax.ShapeDtypeStruct(img_shape, img_dtype),
+                 jax.ShapeDtypeStruct(img_shape, img_dtype),
+                 state).compile()),
         ]
         with cf.ThreadPoolExecutor(len(jobs)) as ex:
             futs = {ex.submit(fn): name for name, fn in jobs}
@@ -289,15 +310,11 @@ class VisualOdometry:
                 say(f"compiled: {futs[f]}")
 
     def process(self, img_l, img_r) -> FrameResult:
-        """Track one new stereo pair (3 device dispatches, no host sync).
+        """Track one new stereo pair (ONE device dispatch, no host sync).
         Call ``mark_keyframe()`` afterwards if the mapping layer accepted
         the KF (currFrameIsKF :1518 semantics)."""
         assert self.state is not None, "call initialize() first"
-        kp_pair, seg_pair = self._extract_pair(img_l, img_r,
-                                               self.state.fast_th)
-        res, new_state = _match_and_track(
-            kp_pair, seg_pair, self.state, self.cam,
-            self.fcfg, self.tcfg, self.params)
+        res, new_state = self._step(img_l, img_r, self.state)
         self.state = new_state
         return res
 
