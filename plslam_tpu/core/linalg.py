@@ -77,6 +77,17 @@ def inv4x4(A: jax.Array) -> jax.Array:
 # multi-block reduced systems) stay lax.scan to bound compile time.
 _UNROLL_N = 64
 
+# Above this size, hand over to XLA's native blocked Cholesky /
+# TriangularSolve (jnp.linalg.cholesky + jax.scipy.linalg.solve_triangular).
+# The scan forms run one COLUMN per sequential step — a 512-keyframe
+# reduced camera system is a 3072x3072 solve, i.e. 3072 latency-bound
+# scan steps (minutes on a remote-dispatch runtime), while the blocked
+# HLOs run panel-at-a-time on the MXU.  Both are supported on the TPU
+# compile path (unlike LU/eig, which this module exists to avoid) and on
+# CPU f64 (LAPACK).  The scan forms stay for small/mid systems where
+# they fuse into surrounding programs.
+_BLOCKED_N = 192
+
 
 def cholesky(A: jax.Array) -> jax.Array:
     """Lower-triangular Cholesky of one (n, n) SPD matrix via lax.scan over
@@ -105,6 +116,8 @@ def cholesky(A: jax.Array) -> jax.Array:
         for j in range(n):
             L, _ = body(L, j)
         return L
+    if n >= _BLOCKED_N:
+        return jnp.linalg.cholesky(A)
     L, _ = jax.lax.scan(body, L, jnp.arange(n))
     return L
 
@@ -123,6 +136,10 @@ def solve_triangular_lower(L: jax.Array, b: jax.Array) -> jax.Array:
         for i in range(n):
             y, _ = body(y, i)
         return y
+    if n >= _BLOCKED_N:
+        from jax.scipy.linalg import solve_triangular
+
+        return solve_triangular(L, b, lower=True)
     y, _ = jax.lax.scan(body, y, jnp.arange(n))
     return y
 
@@ -142,6 +159,10 @@ def solve_triangular_upper(U: jax.Array, b: jax.Array) -> jax.Array:
         for i in range(n):
             x, _ = body(x, i)
         return x
+    if n >= _BLOCKED_N:
+        from jax.scipy.linalg import solve_triangular
+
+        return solve_triangular(U, b, lower=False)
     x, _ = jax.lax.scan(body, x, jnp.arange(n))
     return x
 

@@ -16,7 +16,8 @@ from .features import StereoFeatures, TrackedLines, TrackedPoints
 
 
 def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
-                         nnr: float = 0.9, window: float = 120.0):
+                         nnr: float = 0.9, window: float = 120.0,
+                         line_twoway_px: float = 25.0):
     """Build (TrackedPoints, TrackedLines): prev-frame 3D geometry paired
     with curr-frame 2D observations.
 
@@ -47,8 +48,19 @@ def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
         l_prev.sp, l_prev.ep, l_curr.sp, l_curr.ep,
         l_prev.valid, l_curr.valid, radius=window, min_dir_cos=0.75)
     lmatch = M.match_descriptors(l_prev.desc, l_curr.desc, lmask, nnr)
-    lj = jnp.clip(lmatch.idx, 0, l_curr.capacity - 1)
-    l_ok = (lmatch.idx >= 0) & l_prev.valid
+    lidx = lmatch.idx
+    if line_twoway_px > 0:
+        # two-way reprojection-consistency gate: both segments' endpoints
+        # within line_twoway_px of each other's infinite line.  Kills
+        # descriptor confusion between parallel neighboring stripes (the
+        # dominant f2f wrong-match mode): measured 9.0% -> 3.9% wrong at
+        # UNCHANGED correct-match count on the GT harness
+        # (scripts/line_match_quality.py, 15-50 px all retain every
+        # correct match; 25 px leaves margin for fast rotation).
+        lidx = M.line_twoway_gate(l_prev.sp, l_prev.ep, l_curr.sp,
+                                  l_curr.ep, lidx, line_twoway_px)
+    lj = jnp.clip(lidx, 0, l_curr.capacity - 1)
+    l_ok = (lidx >= 0) & l_prev.valid
     ls = TrackedLines(
         sP=l_prev.sP,
         eP=l_prev.eP,
@@ -62,4 +74,4 @@ def track_frame_to_frame(prev: StereoFeatures, curr: StereoFeatures,
         valid=l_ok,
         inlier=jnp.ones_like(l_ok),
     )
-    return pts, ls, pmatch.idx, lmatch.idx
+    return pts, ls, pmatch.idx, lidx

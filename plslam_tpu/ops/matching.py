@@ -176,3 +176,35 @@ def match_descriptors(
     """Distance matrix + mutual NNR in one call."""
     dist = hamming_distance_matrix(desc1, desc2)
     return match_mutual_nnr(dist, pair_mask, nnr, mutual)
+
+
+def _perp_dist(q: jax.Array, sp: jax.Array, ep: jax.Array) -> jax.Array:
+    """Perpendicular distance of points q (..., 2) to the INFINITE lines
+    through (sp, ep) (..., 2)."""
+    d = ep - sp
+    n = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-9)
+    rel = q - sp
+    return jnp.abs(rel[..., 0] * d[..., 1] - rel[..., 1] * d[..., 0]) / n
+
+
+def line_twoway_gate(sp1, ep1, sp2, ep2, idx: jax.Array,
+                     max_perp: float) -> jax.Array:
+    """Two-way reprojection-consistency gate on accepted line matches.
+
+    For each matched pair (i -> idx[i]): BOTH endpoints of segment i must
+    lie within ``max_perp`` px of the matched segment's infinite line AND
+    both endpoints of the matched segment within ``max_perp`` px of
+    segment i's infinite line.  The candidate window (line_pair_mask) is
+    a coarse full-segment proximity at the motion radius (~120 px); this
+    post-match gate is the TIGHT symmetric check that kills the dominant
+    wrong-match mode — descriptor confusion between PARALLEL neighboring
+    stripes, which pass the window and the direction filter but sit a
+    stripe-offset away perpendicular to the line.  True matches move only
+    by the inter-frame line motion (<< a stripe spacing at video rate).
+    Returns idx with rejected matches set to -1."""
+    j = jnp.maximum(idx, 0)
+    s2, e2 = sp2[j], ep2[j]
+    d1 = jnp.maximum(_perp_dist(sp1, s2, e2), _perp_dist(ep1, s2, e2))
+    d2 = jnp.maximum(_perp_dist(s2, sp1, ep1), _perp_dist(e2, sp1, ep1))
+    ok = (d1 <= max_perp) & (d2 <= max_perp)
+    return jnp.where(ok, idx, -1)

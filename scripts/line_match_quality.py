@@ -93,7 +93,7 @@ def _make_mask(mode, cfg, sa, sb):
 
 
 def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label="",
-        long_lines=False, mask_mode="full"):
+        long_lines=False, mask_mode="full", twoway_px=0.0):
     det = jax.jit(lambda im: _detect_describe_lines(im, cfg))
     match = jax.jit(lambda da, db, mask: M.match_descriptors(
         da, db, mask, 0.9))
@@ -116,7 +116,11 @@ def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label="",
         for (sa, da, ga, _), (sb, db, gb, _) in zip(views, views[1:]):
             mask = _make_mask(mask_mode, cfg, sa, sb)
             res = match(da, db, mask)
-            idx = np.asarray(res.idx)
+            idx = res.idx
+            if twoway_px > 0:
+                idx = M.line_twoway_gate(sa.sp, sa.ep, sb.sp, sb.ep,
+                                         idx, twoway_px)
+            idx = np.asarray(idx)
             for i, j in enumerate(idx):
                 if j < 0 or ga[i] < 0:
                     continue
@@ -132,9 +136,12 @@ def run(cfg: FrontendConfig, n_scenes=6, n_steps=3, label="",
 
 if __name__ == "__main__":
     run(FrontendConfig(), label="baseline (full-segment)")
+    run(FrontendConfig(), label="PRODUCTION (+twoway 25px)", twoway_px=25.0)
     run(FrontendConfig(), label="baseline oneside", mask_mode="oneside")
     run(FrontendConfig(), label="baseline midpoint", mask_mode="midpoint")
     run(FrontendConfig(), label="long-lines full-segment", long_lines=True)
+    run(FrontendConfig(), label="long-lines +twoway 25px", long_lines=True,
+        twoway_px=25.0)
     run(FrontendConfig(), label="long-lines oneside", long_lines=True,
         mask_mode="oneside")
     run(FrontendConfig(), label="long-lines midpoint", long_lines=True,
