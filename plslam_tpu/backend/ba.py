@@ -115,14 +115,20 @@ class BAConfig(NamedTuple):
     # floor damps the weakly-constrained depth direction of low-parallax
     # points and visibly stalls convergence on clean problems.
     tikhonov: float = 1e-6
-    # separate, HIGHER floor for endpoint-line slots of the point table:
-    # their point-to-line residuals leave the along-line direction exactly
-    # flat, so rounding noise in the gradient's null component produces
-    # updates of order |b|/(floor*tr) along the null space.  Measured on a
-    # 16-KF/300-pt endpoint-mode GBA: median point error 0.044 -> 0.277 at
-    # a uniform 1e-6 floor (endpoint drift pollutes the pose solve) vs
-    # 0.044 -> 0.006 with endpoint slots floored at 1e-4, identical final
-    # cost.  Applied per slot by point_block_floor().
+    # DIRECTIONAL (null-space-only) damping strength for endpoint-line
+    # slots of the point table (point_block_aniso): their point-to-line
+    # residuals leave the along-line direction exactly flat, and f32
+    # rounding noise in the gradient's null component produces drift of
+    # order |b|/(floor*tr) along it.  r4 damped this with a raised
+    # ISOTROPIC floor of 1e-4, which the r5 A/B against a
+    # reference-faithful dense f64 endpoint LM oracle
+    # (scripts/endpoint_gba_ab.py) exposed as OVER-damping the two
+    # constrained directions too: the oracle reached 0.0058 median point
+    # error on the 16-KF ring where our endpoint GBA stalled at 0.039 —
+    # the "parameterization owns the gap" theory was wrong.  Isotropic
+    # sweeps sat on a knife edge (1e-5..3e-6 fine, 1e-6 drift cliff,
+    # 1e-4 stall); damping ONLY the computed null direction removes the
+    # trade-off, so the strength can stay high.
     tikhonov_endpoint: float = 1e-4
     # Early exit of the LM loop: stop after ``lm_exit_streak`` consecutive
     # iterations whose relative cost decrease is below
@@ -348,19 +354,20 @@ def assemble(prob: BAProblem, cam: StereoCamera, cfg: BAConfig,
 
 
 def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
-                dim: int, floor=1e-6):
+                dim: int, floor=1e-6, extra: jax.Array | None = None):
     """Per-landmark damped inverse (H + lam*diag(H))^-1; identity for
     invalid/unobserved landmarks (their delta is zeroed anyway).
     ``floor`` is the trace-relative Tikhonov floor — a scalar, or a
-    per-block (n,) array (point_block_floor)."""
+    per-block (n,) array.  ``extra`` adds a per-block damping matrix
+    (point_block_aniso's targeted null-space term)."""
     diag = jnp.eye(dim, dtype=Hblocks.dtype)
     tr = jnp.einsum("nii->n", Hblocks)
-    # trace-relative Tikhonov: endpoint-line blocks are rank-deficient
-    # (point-to-line residuals leave the along-line direction flat), and an
-    # absolute 1e-12 floor is nothing against trace ~1e4 — the landmark
-    # would wander along its null space
+    # trace-relative Tikhonov: an absolute 1e-12 floor is nothing against
+    # trace ~1e4 in f32
     damped = (Hblocks + lam * Hblocks * diag
               + (floor * tr + 1e-12)[:, None, None] * diag)
+    if extra is not None:
+        damped = damped + extra
     observed = tr > 1e-12
     use = valid & observed
     safe = jnp.where(use[:, None, None], damped, diag)
@@ -369,16 +376,49 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
 
 
 def point_block_floor(prob: BAProblem, cfg: BAConfig) -> jax.Array:
-    """Per-slot Tikhonov floor for the point table: endpoint-line slots
-    (rank-deficient along-line) get cfg.tikhonov_endpoint, true 3-DoF
-    points keep cfg.tikhonov (see BAConfig for the measured rationale)."""
+    """Per-slot isotropic Tikhonov floor for the point table.  Endpoint
+    slots no longer carry a raised ISOTROPIC floor — their exact null
+    direction gets the targeted point_block_aniso term instead, which the
+    r5 oracle A/B showed is what the isotropic raise was (badly)
+    approximating: a uniform 1e-4 floor over-damped the two CONSTRAINED
+    directions too and stalled the endpoint GBA at 6x the error floor a
+    reference-faithful f64 LM reaches on the same problem."""
     P = prob.points.shape[0]
-    base = jnp.full(P, cfg.tikhonov, prob.points.dtype)
+    return jnp.full(P, cfg.tikhonov, prob.points.dtype)
+
+
+def point_block_aniso(prob: BAProblem, cfg: BAConfig,
+                      Hpp: jax.Array) -> jax.Array | None:
+    """Targeted null-space damping for endpoint-line point slots.
+
+    A point-to-line residual pair leaves the along-line direction of each
+    endpoint exactly flat: the endpoint's 3x3 Hessian block is rank-2 and
+    f32 rounding noise in the gradient's null component produces updates
+    of order |b|/(floor*tr) along it (observed as endpoint drift that
+    pollutes the pose solve).  Instead of raising the isotropic floor
+    (which damps the constrained directions and stalls convergence), damp
+    ONLY the null direction: for a rank-2 block the null vector is the
+    cross product of its two most independent columns (columns span the
+    row space).  Damping strength cfg.tikhonov_endpoint * trace, applied
+    solely to endpoint slots.  For a block that happens to be
+    well-conditioned the extra term is negligible relative to its
+    eigenvalues."""
     if prob.p_is_line is None:
-        return base
+        return None
+    P = prob.points.shape[0]
     is_ep = jnp.zeros(P, bool).at[prob.p_lm].max(prob.p_is_line)
-    return jnp.where(is_ep, jnp.maximum(cfg.tikhonov,
-                                        cfg.tikhonov_endpoint), base)
+    c0, c1, c2 = Hpp[..., 0], Hpp[..., 1], Hpp[..., 2]
+    crosses = jnp.stack([jnp.cross(c0, c1), jnp.cross(c1, c2),
+                         jnp.cross(c0, c2)], axis=1)        # (P, 3, 3)
+    norms = jnp.linalg.norm(crosses, axis=-1)               # (P, 3)
+    best = jnp.take_along_axis(
+        crosses, jnp.argmax(norms, axis=1)[:, None, None], axis=1)[:, 0]
+    null = best / jnp.maximum(
+        jnp.linalg.norm(best, axis=-1, keepdims=True), 1e-30)
+    tr = jnp.einsum("nii->n", Hpp)
+    aniso = (cfg.tikhonov_endpoint * tr)[:, None, None] * \
+        null[:, :, None] * null[:, None, :]
+    return jnp.where(is_ep[:, None, None], aniso, 0.0)
 
 
 def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
@@ -395,7 +435,8 @@ def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
     _accumulate."""
     hi = jax.lax.Precision.HIGHEST
     Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3,
-                             point_block_floor(prob, cfg))
+                             point_block_floor(prob, cfg),
+                             extra=point_block_aniso(prob, cfg, a.Hpp))
     Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, cfg.tikhonov)
     S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp,
                         precision=hi)
@@ -672,8 +713,9 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             x, spts, sls, pa, la = inp
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
-            Hpp_inv, _ = _damped_inv(a.Hpp, lam, pr.point_valid, 3,
-                                     point_block_floor(pr, cfg))
+            Hpp_inv, _ = _damped_inv(
+                a.Hpp, lam, pr.point_valid, 3, point_block_floor(pr, cfg),
+                extra=point_block_aniso(pr, cfg, a.Hpp))
             Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4,
                                      cfg.tikhonov)
             dpoint, dline = back_substitute(a, Hpp_inv, Hll_inv, dpose, cfg)

@@ -130,6 +130,15 @@ class PLSLAMConfig:
     # the batch-environment analog of the MRPT live window).  0 = off.
     viz_every_kf: int = 0
     viz_path: str = "scene.html"
+    # per-frame diagnosis overlays (plotStereoFrame /
+    # plotStereoFrameProjerr analogs, stereoFrame.cpp:655,
+    # stereoFrameHandler.cpp:1615): every N frames, render the tracked
+    # features + f2f match segments + per-feature residual ramp onto the
+    # left frame (PNG) and append a per-feature residual JSONL record.
+    # 0 = off (the overlay recomputes the association for that frame and
+    # costs one small fetch — a debug feature).
+    overlay_every: int = 0
+    overlay_dir: str = "overlays"
 
     lc_res: float = 1.0
     lc_unc: float = 0.01

@@ -37,8 +37,10 @@ def _local_assemble(prob: ba_mod.BAProblem, cam: StereoCamera,
     a = ba_mod.assemble(prob, cam, cfg, p_active, l_active)
     K = a.Hcc.shape[0]
     dtype = a.Hcc.dtype
-    Hpp_inv, _ = ba_mod._damped_inv(a.Hpp, lam, prob.point_valid, 3,
-                                    ba_mod.point_block_floor(prob, cfg))
+    Hpp_inv, _ = ba_mod._damped_inv(
+        a.Hpp, lam, prob.point_valid, 3,
+        ba_mod.point_block_floor(prob, cfg),
+        extra=ba_mod.point_block_aniso(prob, cfg, a.Hpp))
     Hll_inv, _ = ba_mod._damped_inv(a.Hll, lam, prob.line_valid, 4,
                                     cfg.tikhonov)
 

@@ -12,6 +12,7 @@ same coupling here.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -251,9 +252,14 @@ class PLSLAM:
             self._initialized = True
             self._frame_idx += 1
             return None
+        prev_feats = (self.vo.current_features
+                      if self.config.overlay_every > 0 else None)
         res = self.vo.process(il, ir)
         sc = np.asarray(self._pack_frame_scalars(res))
         is_kf = bool(sc[0] > 0.5)
+        if (self.config.overlay_every > 0
+                and self._frame_idx % self.config.overlay_every == 0):
+            self._render_overlay(il, prev_feats, res)
         if is_kf:
             pose = self._T_anchor @ sc[5:21].reshape(4, 4).astype(np.float64)
             feats = self.vo.current_features
@@ -272,6 +278,27 @@ class PLSLAM:
             entropy_ratio=float(sc[4])))
         self._frame_idx += 1
         return res
+
+    def _render_overlay(self, il, prev_feats, res):
+        """Per-frame diagnosis overlay + residual dump (viz_frame).  Never
+        lets a viz failure kill tracking."""
+        try:
+            from . import viz_frame
+
+            diag = viz_frame.compute_frame_diagnostics(
+                prev_feats, self.vo.current_features, res.DT, self.cam,
+                self.config.tracker())
+            d = self.config.overlay_dir
+            viz_frame.render_frame_overlay(
+                np.asarray(il), diag,
+                os.path.join(d, f"overlay_{self._frame_idx:06d}.png"),
+                frame_id=self._frame_idx)
+            viz_frame.dump_residuals_jsonl(
+                diag, os.path.join(d, "residuals.jsonl"), self._frame_idx)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception("overlay render failed")
 
     # -- end of run --------------------------------------------------------
 

@@ -82,6 +82,8 @@ _HTML = """<!DOCTYPE html>
  <label><input type="checkbox" id="tk" checked> keyframes</label>
  <label><input type="checkbox" id="tc" checked> covis graph</label>
  <label><input type="checkbox" id="tg" checked> ground truth</label>
+ <label><input type="checkbox" id="tf"> follow camera</label>
+ <label><input type="checkbox" id="ta"> auto-refresh</label>
  <span id="stats"></span>
 </div>
 <script>
@@ -147,12 +149,39 @@ document.getElementById('stats').textContent =
  `${DATA.kf_T.length} KFs, ${DATA.cov_edges.length} covis edges ` +
  `(>=${DATA.cov_threshold})`;
 
-// center/scale
-let cen=[0,0,0];
-if(DATA.kf_T.length){for(const T of DATA.kf_T){cen[0]+=T[0][3];
- cen[1]+=T[1][3];cen[2]+=T[2][3];}
- cen=cen.map(v=>v/DATA.kf_T.length);}
+// center/scale: map centroid, or the NEWEST keyframe in follow mode
+// (slamScene camera-follow analog) — live per-KF re-exports + the
+// auto-refresh reload make the view track the camera
+let cenAll=[0,0,0];
+if(DATA.kf_T.length){for(const T of DATA.kf_T){cenAll[0]+=T[0][3];
+ cenAll[1]+=T[1][3];cenAll[2]+=T[2][3];}
+ cenAll=cenAll.map(v=>v/DATA.kf_T.length);}
+let cen=cenAll;
 let yaw=0.6, pitch=0.35, dist=8, panX=0, panY=0;
+// view + toggle state survives the auto-refresh reload
+try{const st=JSON.parse(localStorage.getItem('plslam_view')||'null');
+ if(st){yaw=st.yaw;pitch=st.pitch;dist=st.dist;panX=st.panX;panY=st.panY;
+  for(const id of ['tp','tl','tk','tc','tg','tf','ta'])
+   if(st[id]!==undefined)document.getElementById(id).checked=st[id];}
+}catch(e){}
+function saveView(){const st={yaw:yaw,pitch:pitch,dist:dist,panX:panX,
+  panY:panY};
+ for(const id of ['tp','tl','tk','tc','tg','tf','ta'])
+  st[id]=document.getElementById(id).checked;
+ try{localStorage.setItem('plslam_view',JSON.stringify(st));}catch(e){}}
+function updateCen(){
+ if(document.getElementById('tf').checked&&DATA.kf_T.length){
+  const T=DATA.kf_T[DATA.kf_T.length-1];
+  cen=[T[0][3],T[1][3],T[2][3]];
+ } else cen=cenAll;
+}
+let refreshTimer=null;
+function updateRefresh(){
+ const on=document.getElementById('ta').checked;
+ if(on&&!refreshTimer)refreshTimer=setTimeout(()=>{saveView();
+  location.reload();},3000);
+ if(!on&&refreshTimer){clearTimeout(refreshTimer);refreshTimer=null;}
+}
 
 function mat(){
  const w=cv.width, h=cv.height, f=1.6, n=0.01, fa=1000;
@@ -210,10 +239,12 @@ addEventListener('mousemove',e=>{if(!drag)return;
  draw();});
 cv.addEventListener('wheel',e=>{e.preventDefault();
  dist*=Math.exp(e.deltaY*0.0012); draw();},{passive:false});
-for(const id of ['tp','tl','tk','tc','tg'])
- document.getElementById(id).addEventListener('change',draw);
+for(const id of ['tp','tl','tk','tc','tg','tf','ta'])
+ document.getElementById(id).addEventListener('change',()=>{updateCen();
+  updateRefresh();saveView();draw();});
+addEventListener('mouseup',saveView);
 addEventListener('resize',draw);
-draw();
+updateCen();updateRefresh();draw();
 </script></body></html>
 """
 

@@ -39,8 +39,15 @@ from plslam_tpu.parallel import dist_gba, multihost
 from plslam_tpu.parallel.mesh import make_mesh
 
 N_KF = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+ONLY = sys.argv[2] if len(sys.argv) > 2 else None  # single|mesh8|mesh2x4
 N_PTS = N_KF * 128
 N_LS = N_KF * 8
+
+
+def _peak_rss_gb():
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
 
 
 def build():
@@ -57,34 +64,46 @@ def pt_err(mapper, pt_true):
 
 def main():
     results = {}
-    # single-chip chunked GBA
-    mapper, (T_true, pt_true) = build()
-    pre = pt_err(mapper, pt_true)
-    t0 = time.time()
-    mapper.global_bundle_adjustment()
-    results["single"] = {"wall_s": round(time.time() - t0, 1),
-                         "pt_err": round(pt_err(mapper, pt_true), 5)}
+    want = lambda k: ONLY is None or ONLY == k
+    pre = None
+    if want("single"):
+        # single-chip chunked GBA
+        mapper, (T_true, pt_true) = build()
+        pre = pt_err(mapper, pt_true)
+        t0 = time.time()
+        mapper.global_bundle_adjustment()
+        results["single"] = {"wall_s": round(time.time() - t0, 1),
+                             "pt_err": round(pt_err(mapper, pt_true), 5),
+                             "peak_rss_gb": _peak_rss_gb()}
 
-    # 8-device kf-block mesh
-    mapper, _ = build()
-    mesh = make_mesh(8, dist_gba.AXIS)
-    t0 = time.time()
-    blk = dist_gba.distributed_global_bundle_adjustment(mapper, mesh)
-    results["mesh8"] = {
-        "wall_s": round(time.time() - t0, 1),
-        "pt_err": round(pt_err(mapper, pt_true), 5),
-        "chunks": len(blk.metas),
-        "chunks_per_device": len(blk.metas) // 8}
+    if want("mesh8"):
+        # 8-device kf-block mesh
+        mapper, (T_true, pt_true) = build()
+        if pre is None:
+            pre = pt_err(mapper, pt_true)
+        mesh = make_mesh(8, dist_gba.AXIS)
+        t0 = time.time()
+        blk = dist_gba.distributed_global_bundle_adjustment(mapper, mesh)
+        results["mesh8"] = {
+            "wall_s": round(time.time() - t0, 1),
+            "pt_err": round(pt_err(mapper, pt_true), 5),
+            "chunks": len(blk.metas),
+            "chunks_per_device": -(-len(blk.metas) // 8),
+            "peak_rss_gb": _peak_rss_gb()}
 
-    # 2x4 multi-host (dcn x ici) mesh
-    mapper, _ = build()
-    mesh2 = multihost.make_multihost_mesh(2, 4)
-    t0 = time.time()
-    blk = multihost.distributed_gba_2d(mapper, mesh2)
-    results["mesh2x4"] = {
-        "wall_s": round(time.time() - t0, 1),
-        "pt_err": round(pt_err(mapper, pt_true), 5),
-        "chunks": len(blk.metas)}
+    if want("mesh2x4"):
+        # 2x4 multi-host (dcn x ici) mesh
+        mapper, (T_true, pt_true) = build()
+        if pre is None:
+            pre = pt_err(mapper, pt_true)
+        mesh2 = multihost.make_multihost_mesh(2, 4)
+        t0 = time.time()
+        blk = multihost.distributed_gba_2d(mapper, mesh2)
+        results["mesh2x4"] = {
+            "wall_s": round(time.time() - t0, 1),
+            "pt_err": round(pt_err(mapper, pt_true), 5),
+            "chunks": len(blk.metas),
+            "peak_rss_gb": _peak_rss_gb()}
 
     print(json.dumps({"n_kf": N_KF, "n_pts": N_PTS, "n_ls": N_LS,
                       "pre_err": round(pre, 5), **results}))

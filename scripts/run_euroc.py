@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--out", default="trajectory.txt")
     ap.add_argument("--no-gba", action="store_true")
     ap.add_argument("--native-loader", action="store_true")
+    ap.add_argument("--overlay-every", type=int, default=0, metavar="N",
+                    help="render a per-frame diagnosis overlay (tracked "
+                         "features, f2f match segments, residual ramp) + "
+                         "residual JSONL every N frames (plotStereoFrame "
+                         "analog); 0 = off")
+    ap.add_argument("--overlay-dir", default="overlays")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +61,10 @@ def main():
                               height=calib.height)
     cfg = (PLSLAMConfig.from_yaml(args.config) if args.config
            else PLSLAMConfig())
+    if args.overlay_every:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, overlay_every=args.overlay_every,
+                                  overlay_dir=args.overlay_dir)
     slam = PLSLAM(cam, cfg)
 
     # honor the params file's images_subfolder_l/r keys (KITTI etc.); fall
