@@ -45,6 +45,15 @@ def main():
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # The axon TPU plugin ignores JAX_PLATFORMS=cpu and routes every op
+    # through the remote tunnel (pathological dispatch, hangs under
+    # contention) — honor the env var by pinning the default device
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_default_device",
+                              jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     from plslam_tpu.config import PLSLAMConfig
@@ -88,8 +97,17 @@ def main():
         from plslam_tpu.native.loader import NativeStereoLoader
         nl = NativeStereoLoader(ds.files_l, ds.files_r, calib.width,
                                 calib.height, maps=(calib.map_l, calib.map_r))
-        frames = ((nl.get(i)[0], nl.get(i)[1], ds.timestamps[i])
-                  for i in range(len(ds)))
+
+        def _native_frames():
+            # ONE get() per index: the prefetch loader CONSUMES the frame
+            # (done_.erase in Loader::get) — a second get(i) would wait
+            # forever.  (Caught by tests/test_disk_e2e.py, which drives
+            # this exact path.)
+            for i in range(len(ds)):
+                il, ir = nl.get(i)
+                yield il, ir, ds.timestamps[i]
+
+        frames = _native_frames()
     else:
         frames = (ds[i] for i in range(len(ds)))
 
