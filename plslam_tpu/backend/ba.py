@@ -115,21 +115,32 @@ class BAConfig(NamedTuple):
     # floor damps the weakly-constrained depth direction of low-parallax
     # points and visibly stalls convergence on clean problems.
     tikhonov: float = 1e-6
-    # DIRECTIONAL (null-space-only) damping strength for endpoint-line
-    # slots of the point table (point_block_aniso): their point-to-line
-    # residuals leave the along-line direction exactly flat, and f32
-    # rounding noise in the gradient's null component produces drift of
-    # order |b|/(floor*tr) along it.  r4 damped this with a raised
-    # ISOTROPIC floor of 1e-4, which the r5 A/B against a
-    # reference-faithful dense f64 endpoint LM oracle
-    # (scripts/endpoint_gba_ab.py) exposed as OVER-damping the two
-    # constrained directions too: the oracle reached 0.0058 median point
-    # error on the 16-KF ring where our endpoint GBA stalled at 0.039 —
-    # the "parameterization owns the gap" theory was wrong.  Isotropic
-    # sweeps sat on a knife edge (1e-5..3e-6 fine, 1e-6 drift cliff,
-    # 1e-4 stall); damping ONLY the computed null direction removes the
-    # trade-off, so the strength can stay high.
+    # Endpoint-line slot damping comes in TWO regimes, because the two
+    # solve classes want opposite trade-offs (measured r5):
+    #
+    # COLD/GLOBAL solves (chunked GBA, kf-block sharded GBA): endpoints
+    # start far from the optimum and weak-but-real directions (low-
+    # parallax depth) must converge.  The r4 isotropic 1e-4 floor damped
+    # those too and stalled the ring-oracle GBA at 0.039 where a
+    # reference-faithful dense f64 endpoint LM reaches 0.0058
+    # (scripts/endpoint_gba_ab.py); DIRECTIONAL damping of only the
+    # computed null vector (point_block_aniso) plus the light uniform
+    # floor reaches 0.0059-0.0064 — oracle parity, robust across
+    # strengths 1e-4..1e-3 and iteration budgets.
+    # ``tikhonov_endpoint`` is that directional strength.
+    #
+    # WARM/INCREMENTAL solves (per-keyframe local BA, landmark-sharded
+    # dist BA): endpoints start near-correct and the job is STABILITY
+    # over hundreds of repeated capacity-capped f32 solves.  There,
+    # rank-1 endpoint blocks (one or two near-parallel observations)
+    # have a 2-DoF weak space that a single cross-derived null vector
+    # cannot cover, and the undamped second direction accumulates noise:
+    # the 156-KF loop-closure scenario lands at 0.47 m ATE with the
+    # aniso scheme vs 0.0018-0.0024 with the r4 isotropic floor.
+    # ``tikhonov_endpoint_warm`` is that isotropic floor, applied by
+    # point_block_floor in the dense/dist LBA paths.
     tikhonov_endpoint: float = 1e-4
+    tikhonov_endpoint_warm: float = 1e-4
     # Early exit of the LM loop: stop after ``lm_exit_streak`` consecutive
     # iterations whose relative cost decrease is below
     # ``lm_min_rel_decrease`` (a rejected step counts as zero decrease).
@@ -376,13 +387,23 @@ def _damped_inv(Hblocks: jax.Array, lam: jax.Array, valid: jax.Array,
 
 
 def point_block_floor(prob: BAProblem, cfg: BAConfig) -> jax.Array:
-    """Per-slot isotropic Tikhonov floor for the point table.  Endpoint
-    slots no longer carry a raised ISOTROPIC floor — their exact null
-    direction gets the targeted point_block_aniso term instead, which the
-    r5 oracle A/B showed is what the isotropic raise was (badly)
-    approximating: a uniform 1e-4 floor over-damped the two CONSTRAINED
-    directions too and stalled the endpoint GBA at 6x the error floor a
-    reference-faithful f64 LM reaches on the same problem."""
+    """Per-slot isotropic Tikhonov floor for WARM/INCREMENTAL solves
+    (dense local BA, landmark-sharded dist BA): endpoint-line slots get
+    cfg.tikhonov_endpoint_warm, true 3-DoF points keep cfg.tikhonov.
+    See the BAConfig two-regime rationale."""
+    P = prob.points.shape[0]
+    base = jnp.full(P, cfg.tikhonov, prob.points.dtype)
+    if prob.p_is_line is None:
+        return base
+    is_ep = jnp.zeros(P, bool).at[prob.p_lm].max(prob.p_is_line)
+    return jnp.where(is_ep, jnp.maximum(cfg.tikhonov,
+                                        cfg.tikhonov_endpoint_warm), base)
+
+
+def point_block_floor_global(prob: BAProblem, cfg: BAConfig) -> jax.Array:
+    """Uniform light floor for COLD/GLOBAL solves (chunked/sharded GBA),
+    paired with point_block_aniso's targeted null-space damping.  See the
+    BAConfig two-regime rationale."""
     P = prob.points.shape[0]
     return jnp.full(P, cfg.tikhonov, prob.points.dtype)
 
@@ -422,7 +443,7 @@ def point_block_aniso(prob: BAProblem, cfg: BAConfig,
 
 
 def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
-                   cfg: BAConfig = BAConfig()):
+                   cfg: BAConfig = BAConfig(), mode: str = "warm"):
     """Landmark-marginalized partial contributions to the reduced camera
     system: S_off = -W Hll^-1 W^T and rhs = bc - W Hll^-1 b.  These are
     linear in the observation set, so chunked/sharded assemblies sum them
@@ -434,9 +455,17 @@ def schur_partials(a: _Assembled, prob: BAProblem, lam: jax.Array,
     solve) — Hessian-level accuracy needs full f32, the same lesson as
     _accumulate."""
     hi = jax.lax.Precision.HIGHEST
-    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3,
-                             point_block_floor(prob, cfg),
-                             extra=point_block_aniso(prob, cfg, a.Hpp))
+    if mode == "global":
+        # cold/global regime: light uniform floor + targeted null-space
+        # damping (see the BAConfig two-regime rationale)
+        floor = point_block_floor_global(prob, cfg)
+        extra = point_block_aniso(prob, cfg, a.Hpp)
+    else:
+        # warm/incremental regime: raised isotropic endpoint floor
+        floor = point_block_floor(prob, cfg)
+        extra = None
+    Hpp_inv, _ = _damped_inv(a.Hpp, lam, prob.point_valid, 3, floor,
+                             extra=extra)
     Hll_inv, _ = _damped_inv(a.Hll, lam, prob.line_valid, 4, cfg.tikhonov)
     S_off = -jnp.einsum("kpab,pbc,qpdc->kqad", a.Wp, Hpp_inv, a.Wp,
                         precision=hi)
@@ -694,7 +723,8 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             x, spts, sls, pa, la = inp
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
-            _, _, S_off, rhs = schur_partials(a, pr, lam, cfg)
+            _, _, S_off, rhs = schur_partials(a, pr, lam, cfg,
+                                              mode="global")
             Hcc_s, S_s, rhs_s = acc
             return (Hcc_s + a.Hcc, S_s + S_off, rhs_s + rhs), None
 
@@ -714,7 +744,8 @@ def bundle_adjust_chunked(prob: BAProblem, cam: StereoCamera,
             pr = _mk_chunk(prob, T, x)._replace(points=spts, lines_orth=sls)
             a = assemble(pr, cam, cfg, pa, la, robust)
             Hpp_inv, _ = _damped_inv(
-                a.Hpp, lam, pr.point_valid, 3, point_block_floor(pr, cfg),
+                a.Hpp, lam, pr.point_valid, 3,
+                point_block_floor_global(pr, cfg),
                 extra=point_block_aniso(pr, cfg, a.Hpp))
             Hll_inv, _ = _damped_inv(a.Hll, lam, pr.line_valid, 4,
                                      cfg.tikhonov)

@@ -39,8 +39,7 @@ def _local_assemble(prob: ba_mod.BAProblem, cam: StereoCamera,
     dtype = a.Hcc.dtype
     Hpp_inv, _ = ba_mod._damped_inv(
         a.Hpp, lam, prob.point_valid, 3,
-        ba_mod.point_block_floor(prob, cfg),
-        extra=ba_mod.point_block_aniso(prob, cfg, a.Hpp))
+        ba_mod.point_block_floor(prob, cfg))
     Hll_inv, _ = ba_mod._damped_inv(a.Hll, lam, prob.line_valid, 4,
                                     cfg.tikhonov)
 
